@@ -1,0 +1,50 @@
+"""Global numeric configuration for qiddm_tpu.
+
+The reference codebase (aaai2026/QIDDM) runs everything in float64
+(``.double()`` pervasive, e.g. reference nn/unet.py:47, src/mnist_exm.py:391).
+On TPU the MXU wants float32/bfloat16, so the framework defaults to
+float32/complex64 and exposes an opt-in x64 parity mode for bit-level
+comparisons against the reference semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_X64 = False
+
+
+def enable_x64(on: bool = True) -> None:
+    """Switch the whole framework (and JAX) to float64/complex128."""
+    global _X64
+    _X64 = on
+    jax.config.update("jax_enable_x64", on)
+
+
+def x64_enabled() -> bool:
+    return _X64
+
+
+def real_dtype():
+    return jnp.float64 if _X64 else jnp.float32
+
+
+def complex_dtype():
+    return jnp.complex128 if _X64 else jnp.complex64
+
+
+# TPU matmuls default to bfloat16 passes, which costs ~1e-3 relative error on
+# complex statevector contractions — too loose for simulator parity (probs
+# sums drift to ~0.998). The simulator pins fp32 accumulation on its hot
+# contractions; set to "default" to trade parity for raw speed.
+_MATMUL_PRECISION = "highest"
+
+
+def set_matmul_precision(p: str) -> None:
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = p
+
+
+def matmul_precision() -> str:
+    return _MATMUL_PRECISION

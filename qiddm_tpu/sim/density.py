@@ -1,0 +1,97 @@
+"""Batched density-matrix simulation (the ``default.mixed`` analogue).
+
+Used when a circuit contains non-unitary channels (``add_noise`` modes with
+damping/depolarizing). States are ``(batch, 2**w, 2**w)`` complex density
+matrices; all operations are batched einsums/matmuls so the TPU sees large
+dense contractions, not per-wire Python work.
+
+Memory: dm mode squares the qubit cost (2**2w amplitudes). The QIDDM noise
+sweeps run at w <= 10 (rho <= 1M complex per sample), evaluated at small test
+batches (reference src/mnist_noise.py uses 10 sample images) — fine on a 16GB
+chip. A guard raises above 12 wires.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .. import config as _config
+from .statevector import rz_phases
+
+MAX_DM_WIRES = 12
+
+
+def _nwires(rho):
+    return int(math.log2(rho.shape[-1]))
+
+
+def from_statevector(states):
+    """|psi><psi| for a batch of pure states: (b, d) -> (b, d, d)."""
+    return states[:, :, None] * jnp.conj(states)[:, None, :]
+
+
+def zero_density(batch: int, wires: int, dtype=jnp.complex64):
+    if wires > MAX_DM_WIRES:
+        raise ValueError(
+            f"density-matrix mode capped at {MAX_DM_WIRES} wires, got {wires}"
+        )
+    dim = 2**wires
+    rho = jnp.zeros((batch, dim, dim), dtype=dtype)
+    return rho.at[:, 0, 0].set(1.0)
+
+
+def apply_unitary(rho, unitary):
+    """rho -> U rho U^dagger (two batched matmuls)."""
+    return jnp.einsum("ij,bjk,lk->bil", unitary, rho, jnp.conj(unitary),
+                      precision=_config.matmul_precision())
+
+
+def apply_diag(rho, diag):
+    """Apply a diagonal unitary given as (batch, d) phases: rho_ij *= d_i d_j*."""
+    return rho * (diag[:, :, None] * jnp.conj(diag)[:, None, :])
+
+
+def rz_encode(rho, x):
+    """Per-wire RZ data encoding on a density matrix (diagonal unitary)."""
+    return apply_diag(rho, rz_phases(x, _nwires(rho)))
+
+
+def apply_1q_kraus(rho, kraus, wire: int):
+    """Apply a single-qubit channel ``rho -> sum_k K rho K^dagger`` on a wire.
+
+    kraus: (n_k, 2, 2) complex array.
+    """
+    w = _nwires(rho)
+    b = rho.shape[0]
+    left = 2**wire
+    right = 2 ** (w - wire - 1)
+    # rho indexed (b, l x r, l' x' r') with x the target wire bit.
+    r = rho.reshape(b, left, 2, right, left, 2, right)
+    out = jnp.einsum("kxy,blyrmzs,kwz->blxrmws", kraus, r, jnp.conj(kraus),
+                     precision=_config.matmul_precision())
+    return out.reshape(b, left * 2 * right, left * 2 * right)
+
+
+def apply_kraus_all_wires(rho, kraus):
+    """Apply the same single-qubit channel to every wire in sequence
+    (matches the reference's per-wire noise loops, nn/qdense.py:98-104)."""
+    for j in range(_nwires(rho)):
+        rho = apply_1q_kraus(rho, kraus, j)
+    return rho
+
+
+def probs(rho):
+    """Diagonal of rho (clipped to real)."""
+    d = jnp.diagonal(rho, axis1=-2, axis2=-1)
+    return jnp.real(d)
+
+
+def expval_z(rho):
+    from .statevector import z_sign_table
+
+    w = _nwires(rho)
+    p = probs(rho)
+    signs = jnp.asarray(z_sign_table(w), dtype=p.dtype)
+    return jnp.matmul(p, signs, precision=_config.matmul_precision())

@@ -1,0 +1,272 @@
+"""Circuit engine: the reference's three circuit families as batched programs.
+
+Families (SURVEY §2.2 collapses the 27 reference classes onto these):
+
+* ``qdense``   — AmplitudeEmbedding -> SEL(depth) -> probs
+                 (reference nn/qdense.py:40-47)
+* ``reupload`` — N blocks of [L x (per-wire RZ/RY encode -> SEL(k, CZ))]
+                 with probs or PauliZ readout (reference nn/qdense.py:422-441,
+                 :1299-1307)
+* ``qnn``      — single per-wire RZ encode -> SEL(depth, CZ) -> PauliZ
+                 (reference nn/qdense.py:338-344)
+
+Each family runs on the statevector backend; circuits containing non-unitary
+channels (amplitude damping / depolarizing / phase damping) switch to the
+density-matrix backend automatically. Everything is shaped for jit: Python
+loops only over static trace-time structure (L, N, wires).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import channels as ch
+from . import density as dm
+from .gates import WEIGHT_MAPS
+from .sel import sel_unitary
+from .statevector import (
+    amplitude_embed,
+    apply_unitary,
+    expval_z,
+    probs,
+    ry_product_state,
+    rz_phases,
+    zero_state,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseModel:
+    """A hardware-noise channel injected per wire.
+
+    placement:
+      * ``"encode"`` — after each data-encoding rotation, inside every
+        spectrum layer (QIDDM family, reference nn/qdense.py:1406-1416)
+      * ``"end"``    — once at the end of the circuit (Qdense/QNN_A family,
+        reference nn/qdense.py:98-104, :174-180)
+    """
+
+    kind: str
+    strength: float
+    placement: str = "end"
+
+    @property
+    def is_unitary(self) -> bool:
+        return self.kind in ("phase_shift", "rot_angle")
+
+
+# (channel kind, strength) per reference family for add_noise codes 1..3.
+_FAMILY_NOISE = {
+    # reference nn/qdense.py:98-104 (QDenseUndirected_old_noise) and
+    # :431-439 (differN_noise): noise once at circuit end.
+    "qdense": {1: ("phase_shift", 0.05), 2: ("amplitude_damping", 0.1),
+               3: ("depolarizing", 0.02), "placement": "end"},
+    # reference nn/qdense.py:174-180 (QNN_A): end placement.
+    "qnn_a": {1: ("phase_damping", 0.05), 2: ("amplitude_damping", 0.05),
+              3: ("depolarizing", 0.02), "placement": "end"},
+    # reference nn/qdense.py:255-261 (QNN_noise): after each encode gate.
+    "qnn": {1: ("phase_damping", 0.03), 2: ("amplitude_damping", 0.05),
+            3: ("depolarizing", 0.02), "placement": "encode"},
+    # reference nn/qdense.py:520-526 (differN_noise_befor): encode placement.
+    "differn_befor": {1: ("phase_damping", 0.03), 2: ("amplitude_damping", 0.05),
+                      3: ("depolarizing", 0.02), "placement": "encode"},
+    # reference nn/qdense.py:1410-1416 (QIDDM_* family; note the 0.9
+    # depolarizing strength is faithful to the reference).
+    "qiddm": {1: ("phase_damping", 0.03), 2: ("amplitude_damping", 0.05),
+              3: ("depolarizing", 0.9), "placement": "encode"},
+}
+
+
+def noise_from_code(code: int, family: str,
+                    intensity: Optional[float] = None) -> Optional[NoiseModel]:
+    """Map the reference's ``add_noise`` integer to a NoiseModel.
+
+    ``code == 4`` is the "Rotation Angle error" swept by reference
+    src/mnist_noise.py:432 whose circuit branch is missing from the release
+    (SURVEY §8.8); reconstructed as a deterministic encoding over-rotation of
+    ``intensity`` radians. ``intensity`` also overrides the per-family
+    strength for codes 1-3 when given (the ``noise_intensity`` sweep).
+    """
+    if code == 0:
+        return None
+    table = _FAMILY_NOISE[family]
+    placement = table["placement"]
+    if code == 4:
+        return NoiseModel("rot_angle", float(intensity or 0.0), "encode")
+    kind, strength = table[code]
+    if intensity is not None:
+        strength = float(intensity)
+    return NoiseModel(kind, strength, placement)
+
+
+def _kraus_array(noise: NoiseModel, dtype) -> jnp.ndarray:
+    ks = ch.kraus_for(noise.kind, noise.strength)
+    return jnp.asarray(np.stack(ks), dtype=dtype)
+
+
+def _needs_dm(noise: Optional[NoiseModel]) -> bool:
+    return noise is not None and not noise.is_unitary
+
+
+# ---------------------------------------------------------------------------
+# qdense family
+# ---------------------------------------------------------------------------
+
+def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
+                   weight_map: str = "qw_tanh", imprimitive: str = "cnot",
+                   noise: Optional[NoiseModel] = None, cdtype=jnp.complex64):
+    """AmplitudeEmbedding -> SEL -> (noise) -> probs.
+
+    x: (batch, n_features); weights: (depth, wires, 3). Returns (batch, 2**w)
+    probabilities. Reference: nn/qdense.py:40-47 / :95-105.
+    """
+    if x.shape[-1] > 2**wires:
+        raise ValueError(
+            f"{x.shape[-1]} features do not fit in {wires} wires"
+        )
+    w = WEIGHT_MAPS[weight_map](weights)
+    u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
+    states = amplitude_embed(x, wires, pad_with=pad_with, dtype=cdtype)
+    states = apply_unitary(states, u)
+    if noise is None or noise.kind == "phase_shift":
+        # phase shift is diagonal: probs unchanged — skip it entirely.
+        return probs(states)
+    if noise.kind == "rot_angle":
+        return probs(states)
+    rho = dm.from_statevector(states)
+    rho = dm.apply_kraus_all_wires(rho, _kraus_array(noise, cdtype))
+    return dm.probs(rho)
+
+
+# ---------------------------------------------------------------------------
+# re-uploading family (QIDDM / differN)
+# ---------------------------------------------------------------------------
+
+def _encode_angles(x, encode: str, noise: Optional[NoiseModel]):
+    if encode == "rz_halfpi":
+        x = (jnp.pi * 0.5) * x
+    if noise is not None and noise.kind == "rot_angle" and noise.placement == "encode":
+        x = x + noise.strength
+    return x
+
+
+def reupload_block(x_enc, block_weights, *, encode: str = "rz",
+                   imprimitive: str = "cz",
+                   noise: Optional[NoiseModel] = None,
+                   readout: str = "probs", cdtype=jnp.complex64):
+    """One N-block: L x (encode -> SEL(k)) -> readout.
+
+    x_enc: (batch, wires) encoding angles (re-uploaded in every spectrum
+    layer, reference nn/qdense.py:1302-1305); block_weights: (L, k, wires, 3).
+    readout: "probs" -> (batch, 2**w) or "expvalz" -> (batch, wires).
+    """
+    L, k, wires, _ = block_weights.shape
+    batch = x_enc.shape[0]
+    x_enc = _encode_angles(x_enc, encode, noise)
+    us = [sel_unitary(block_weights[i], imprimitive=imprimitive).astype(cdtype)
+          for i in range(L)]
+
+    if not _needs_dm(noise):
+        states = zero_state(batch, wires, dtype=cdtype)
+        if encode in ("rz", "rz_halfpi"):
+            phases = rz_phases(x_enc, wires)
+        for i in range(L):
+            if encode in ("rz", "rz_halfpi"):
+                states = states * phases
+            elif encode == "ry":
+                from .statevector import apply_ry_all
+
+                states = apply_ry_all(states, x_enc)
+            else:
+                raise ValueError(f"unknown encode {encode!r}")
+            states = apply_unitary(states, us[i])
+        if readout == "probs":
+            return probs(states)
+        return expval_z(states)
+
+    # density-matrix path (damping/depolarizing channels inside the loop)
+    kraus = _kraus_array(noise, cdtype)
+    rho = dm.zero_density(batch, wires, dtype=cdtype)
+    phases = rz_phases(x_enc, wires) if encode in ("rz", "rz_halfpi") else None
+    for i in range(L):
+        if phases is not None:
+            rho = dm.apply_diag(rho, phases)
+        elif encode == "ry":
+            # RY per wire on a density matrix via its 2x2 unitaries
+            from .gates import ry_matrix
+
+            for j in range(wires):
+                g = ry_matrix(x_enc[:, j]).astype(cdtype)  # (b, 2, 2)
+                ks = g[:, None, :, :]  # single "Kraus" op, batched
+                rho = _apply_1q_batched_unitary(rho, ks[:, 0], j, wires)
+        if noise.placement == "encode":
+            rho = dm.apply_kraus_all_wires(rho, kraus)
+        rho = dm.apply_unitary(rho, us[i])
+    if noise.placement == "end":
+        rho = dm.apply_kraus_all_wires(rho, kraus)
+    if readout == "probs":
+        return dm.probs(rho)
+    return dm.expval_z(rho)
+
+
+def _apply_1q_batched_unitary(rho, gate, wire: int, wires: int):
+    """rho -> G rho G^dagger with a per-sample (b,2,2) single-qubit gate."""
+    b = rho.shape[0]
+    left = 2**wire
+    right = 2 ** (wires - wire - 1)
+    from .. import config as _config
+
+    r = rho.reshape(b, left, 2, right, left, 2, right)
+    out = jnp.einsum("bxy,blyrmzs,bwz->blxrmws", gate, r, jnp.conj(gate),
+                     precision=_config.matmul_precision())
+    return out.reshape(b, left * 2 * right, left * 2 * right)
+
+
+# ---------------------------------------------------------------------------
+# qnn family
+# ---------------------------------------------------------------------------
+
+def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
+                weight_map: str = "none", noise: Optional[NoiseModel] = None,
+                readout: str = "expvalz", cdtype=jnp.complex64):
+    """Single encode -> SEL(depth) -> readout.
+
+    x: (batch, wires); weights: (depth, wires, 3).
+
+    Faithfulness note: with RZ encoding on the fresh |0..0> state the input
+    contributes only a global phase (reference nn/qdense.py:338-344 — the
+    QNN circuit output is therefore input-independent; the surrounding
+    linear layers do the learning). This implementation reproduces that.
+    """
+    wires = x.shape[-1]
+    w = WEIGHT_MAPS[weight_map](weights)
+    u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
+    x = _encode_angles(x, encode, noise)
+
+    if not _needs_dm(noise):
+        if encode == "ry":
+            states = ry_product_state(x, wires, dtype=cdtype)
+        else:
+            states = zero_state(x.shape[0], wires, dtype=cdtype) * rz_phases(x, wires)
+        states = apply_unitary(states, u)
+        if noise is not None and noise.kind == "phase_shift" and readout == "expvalz":
+            pass  # diagonal after the unitary: Z expectations unchanged
+        return probs(states) if readout == "probs" else expval_z(states)
+
+    kraus = _kraus_array(noise, cdtype)
+    if encode == "ry":
+        rho = dm.from_statevector(ry_product_state(x, wires, dtype=cdtype))
+    else:
+        rho = dm.zero_density(x.shape[0], wires, dtype=cdtype)
+        rho = dm.apply_diag(rho, rz_phases(x, wires))
+    if noise.placement == "encode":
+        rho = dm.apply_kraus_all_wires(rho, kraus)
+    rho = dm.apply_unitary(rho, u)
+    if noise.placement == "end":
+        rho = dm.apply_kraus_all_wires(rho, kraus)
+    return dm.probs(rho) if readout == "probs" else dm.expval_z(rho)

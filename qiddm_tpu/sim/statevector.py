@@ -1,0 +1,178 @@
+"""Batched statevector simulator core.
+
+This is the TPU-native replacement for the reference's external C++/torch
+statevector simulators (PennyLane ``lightning.qubit`` / ``default.qubit.torch``,
+instantiated all over reference nn/qdense.py, e.g. :26, :237, :1285).
+
+Design notes (TPU-first):
+
+* A batch of states is a dense ``(batch, 2**wires)`` complex array. All wire
+  counts in the reference are <= 10, so a full state is at most 1024 complex
+  numbers — thousands of them fit in VMEM at once.
+* Diagonal encodings (RZ data re-uploading) are computed as one matmul
+  ``angles = x @ signs.T`` followed by ``exp`` — MXU + VPU work, no per-wire
+  loop at runtime.
+* Non-diagonal single-qubit gates use the classic reshape + einsum contraction
+  on one axis, vmapped over the batch by construction.
+* Entangling blocks are composed into dense ``(2**w, 2**w)`` unitaries ONCE
+  per training step (they do not depend on the data), turning the per-sample
+  circuit into a single batched complex matmul — see ``sel.py``.
+
+Everything is differentiable with JAX autodiff; this is the exact analogue of
+the reference's ``diff_method="backprop"`` and strictly more accurate than its
+``parameter-shift`` on a simulator.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as _config
+
+
+@functools.lru_cache(maxsize=None)
+def bit_table(wires: int) -> np.ndarray:
+    """(2**wires, wires) int8 table; column j = bit of wire j (wire 0 = MSB)."""
+    idx = np.arange(2**wires, dtype=np.int64)
+    cols = [(idx >> (wires - 1 - j)) & 1 for j in range(wires)]
+    return np.stack(cols, axis=1).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=None)
+def z_sign_table(wires: int) -> np.ndarray:
+    """(2**wires, wires) float: +1 where wire bit is 0, -1 where it is 1.
+
+    Used both for diagonal RZ phase accumulation and PauliZ expectations.
+    """
+    return (1.0 - 2.0 * bit_table(wires)).astype(np.float64)
+
+
+def zero_state(batch: int, wires: int, dtype=jnp.complex64):
+    state = jnp.zeros((batch, 2**wires), dtype=dtype)
+    return state.at[:, 0].set(1.0)
+
+
+# --- encodings --------------------------------------------------------------
+
+def amplitude_embed(x, wires: int, pad_with: float = 0.0, dtype=jnp.complex64):
+    """AmplitudeEmbedding with constant padding + L2 normalization.
+
+    Semantics match the reference's embedding calls (pad constant then
+    normalize the padded vector; reference nn/qdense.py:41-43 pads with 0.1,
+    nn/qconv.py:52-54 pads with 0.5).
+
+    x: (batch, n_features<=2**wires) real -> (batch, 2**wires) complex state.
+    """
+    b, n = x.shape
+    dim = 2**wires
+    if n > dim:
+        raise ValueError(f"{n} features do not fit in {wires} wires")
+    if n < dim:
+        pad = jnp.full((b, dim - n), pad_with, dtype=x.dtype)
+        x = jnp.concatenate([x, pad], axis=-1)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    x = x / jnp.maximum(norm, jnp.asarray(1e-12, x.dtype))
+    return x.astype(dtype)
+
+
+def rz_phases(x, wires: int):
+    """Diagonal of ``prod_j RZ_j(x[:, j])`` over the full space.
+
+    x: (batch, wires) angles -> (batch, 2**wires) complex unit phases.
+
+    RZ(t) multiplies an amplitude by ``e^{-it/2}`` when the wire bit is 0 and
+    ``e^{+it/2}`` when it is 1, so the accumulated phase angle for basis state
+    i is ``-0.5 * sum_j sign_j(i) * x_j``.
+    """
+    signs = jnp.asarray(z_sign_table(wires), dtype=x.dtype)  # (2**w, w)
+    angles = -0.5 * jnp.matmul(x, signs.T,
+                               precision=_config.matmul_precision())
+    return jnp.exp(1j * angles.astype(jnp.result_type(angles, jnp.complex64)))
+
+
+def rz_encode(states, x):
+    """Apply per-wire RZ data encoding to a batch of states.
+
+    states: (batch, 2**w) complex; x: (batch, w) angles.
+    """
+    wires = int(math.log2(states.shape[-1]))
+    return states * rz_phases(x, wires)
+
+
+def ry_product_state(x, wires: int, dtype=jnp.complex64):
+    """State ``prod_j RY_j(x_j) |0...0>`` (AngleEmbedding with rotation='Y').
+
+    Closed form: the product state with per-wire amplitudes
+    ``(cos x_j/2, sin x_j/2)`` (reference nn/qdense.py:166-168).
+    x: (batch, wires) -> (batch, 2**wires).
+    """
+    bits = jnp.asarray(bit_table(wires), dtype=x.dtype)  # (2**w, w)
+    c = jnp.cos(x / 2)[:, None, :]  # (b, 1, w)
+    s = jnp.sin(x / 2)[:, None, :]
+    per_wire = jnp.where(bits[None, :, :] > 0, s, c)  # (b, 2**w, w)
+    return jnp.prod(per_wire, axis=-1).astype(dtype)
+
+
+# --- gate application -------------------------------------------------------
+
+def apply_1q(states, gate, wire: int, wires: int):
+    """Apply a single-qubit gate to ``wire`` of a batch of states.
+
+    states: (batch, 2**wires); gate: (2, 2) or (batch, 2, 2).
+    """
+    b = states.shape[0]
+    left = 2**wire
+    right = 2 ** (wires - wire - 1)
+    st = states.reshape(b, left, 2, right)
+    prec = _config.matmul_precision()
+    if gate.ndim == 2:
+        out = jnp.einsum("xy,blyr->blxr", gate, st, precision=prec)
+    else:
+        out = jnp.einsum("bxy,blyr->blxr", gate, st, precision=prec)
+    return out.reshape(b, -1)
+
+
+def apply_ry_all(states, x):
+    """Apply RY(x[:, j]) to every wire j (mid-circuit Y re-uploading,
+    reference nn/qdense.py:602)."""
+    wires = int(math.log2(states.shape[-1]))
+    for j in range(wires):
+        c = jnp.cos(x[:, j] / 2)
+        s = jnp.sin(x[:, j] / 2)
+        gate = jnp.stack(
+            [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
+        ).astype(states.dtype)
+        states = apply_1q(states, gate, j, wires)
+    return states
+
+
+def apply_unitary(states, unitary):
+    """Batched dense-unitary application: the MXU hot path.
+
+    states: (batch, 2**w); unitary: (2**w, 2**w).
+    ``out[b] = U @ states[b]`` -> one complex matmul ``states @ U.T``.
+    """
+    return jnp.matmul(states, unitary.T, precision=_config.matmul_precision())
+
+
+# --- measurements -----------------------------------------------------------
+
+def probs(states):
+    """|psi|^2 readout (``qml.probs`` analogue, reference nn/qdense.py:47)."""
+    return jnp.real(states) ** 2 + jnp.imag(states) ** 2
+
+
+def expval_z(states):
+    """PauliZ expectation on every wire (reference nn/qdense.py:1306).
+
+    Returns (batch, wires): ``<Z_j> = sum_i |psi_i|^2 * sign_j(i)`` — one
+    matmul against the static sign table.
+    """
+    wires = int(math.log2(states.shape[-1]))
+    p = probs(states)
+    signs = jnp.asarray(z_sign_table(wires), dtype=p.dtype)
+    return jnp.matmul(p, signs, precision=_config.matmul_precision())
