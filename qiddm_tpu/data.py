@@ -1,0 +1,335 @@
+"""Dataset loaders with the reference's signatures, offline-safe.
+
+Reference: src/data.py — every loader returns
+``(x_flat float64 (N, pixels), y int64 (N,), height, width)`` after
+torchvision downloads. This environment has zero egress and no torchvision,
+so each loader resolves its data in order:
+
+1. raw dataset files already cached on disk (torchvision layout: MNIST idx
+   files under ``~/mnist/MNIST/raw`` etc. — parsed natively here);
+2. ``.npz`` caches under ``$QIDDM_DATA_DIR`` (default ``~/qiddm_data``) with
+   arrays ``x`` (N, H, W [, C]) uint8/float and ``y`` (N,);
+3. a deterministic offline fallback — real sklearn ``load_digits`` images
+   resampled to the target resolution (digit-like data, loudly warned) or,
+   for non-digit datasets, structured synthetic textures.
+
+The loaders missing from the reference release though required by its
+drivers — bloodmnist/PneumoniaMNIST/pathmnist/fruit/logo2k/xray
+(reference src/bloodmnist.py:59-71; SURVEY §8.5) — are defined here with the
+same convention.
+
+All loaders return numpy arrays (float64 to mirror the reference's
+``.double()`` pipeline; the trainer casts to the framework dtype).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pathlib
+import struct
+import warnings
+
+import numpy as np
+from sklearn import datasets as _sk_datasets
+
+DATA_DIR = pathlib.Path(os.environ.get("QIDDM_DATA_DIR",
+                                       os.path.expanduser("~/qiddm_data")))
+
+
+# ---------------------------------------------------------------------------
+# raw-file parsing / caches
+# ---------------------------------------------------------------------------
+
+def _read_idx(path: pathlib.Path) -> np.ndarray:
+    """Parse an MNIST-format idx file (optionally gzipped)."""
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = [struct.unpack(">I", f.read(4))[0] for _ in range(ndim)]
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.reshape(dims)
+
+
+def _find_idx_pair(roots, img_names, lbl_names):
+    for root in roots:
+        root = pathlib.Path(os.path.expanduser(root))
+        for sub in ("", "MNIST/raw", "FashionMNIST/raw", "EMNIST/raw", "raw"):
+            base = root / sub if sub else root
+            for img_n in img_names:
+                for ext in ("", ".gz"):
+                    img = base / (img_n + ext)
+                    if not img.exists():
+                        continue
+                    for lbl_n in lbl_names:
+                        for ext2 in ("", ".gz"):
+                            lbl = base / (lbl_n + ext2)
+                            if lbl.exists():
+                                return img, lbl
+    return None
+
+
+def _load_npz_cache(name: str):
+    p = DATA_DIR / f"{name}.npz"
+    if p.exists():
+        z = np.load(p)
+        return np.asarray(z["x"]), np.asarray(z["y"])
+    return None
+
+
+def _digits_fallback(side: int, name: str):
+    """Upsample sklearn's 8x8 digits to ``side`` — real digit images, used
+    when the requested dataset is not on disk (offline environment)."""
+    warnings.warn(
+        f"dataset {name!r} not found on disk and this environment has no "
+        f"network access; falling back to sklearn digits resampled to "
+        f"{side}x{side}. Drop an .npz cache in {DATA_DIR} for real data.")
+    x, y = _sk_datasets.load_digits(return_X_y=True)
+    imgs = x.reshape(-1, 8, 8) / 16.0
+    reps = max(1, side // 8)
+    up = np.repeat(np.repeat(imgs, reps, axis=1), reps, axis=2)
+    pad_h = side - up.shape[1]
+    pad_w = side - up.shape[2]
+    if pad_h or pad_w:
+        up = np.pad(up, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                         (pad_w // 2, pad_w - pad_w // 2)))
+    return up[:, :side, :side], y
+
+
+def _texture_fallback(side: int, name: str, n_classes: int = 10,
+                      n: int = 2000, channels: int = 1):
+    """Deterministic class-structured textures for non-digit datasets."""
+    warnings.warn(
+        f"dataset {name!r} unavailable offline; generating deterministic "
+        f"synthetic textures ({n} samples, {n_classes} classes). Drop an "
+        f".npz cache in {DATA_DIR} for real data.")
+    rng = np.random.default_rng(abs(hash(name)) % (2**32))
+    yy, xx = np.mgrid[0:side, 0:side] / side
+    y = rng.integers(0, n_classes, size=n)
+    freqs = 1.0 + np.arange(n_classes)
+    phases = rng.uniform(0, 2 * np.pi, size=(n, 2))
+    base = 0.5 + 0.45 * np.sin(
+        freqs[y][:, None, None] * np.pi * (xx + yy)[None] + phases[:, :1, None])
+    base = base * (0.7 + 0.3 * np.cos(
+        freqs[y][:, None, None] * np.pi * (xx - yy)[None] + phases[:, 1:, None]))
+    base += 0.05 * rng.standard_normal((n, side, side))
+    base = np.clip(base, 0, 1)
+    if channels > 1:
+        base = np.stack([np.roll(base, s, axis=1) for s in range(channels)], -1)
+    return base, y
+
+
+def _finish(imgs, labels, n_classes, ds_size, h, w):
+    """Filter to the first n_classes, truncate, flatten, cast (reference
+    loaders slice the head of the dataset without shuffling)."""
+    mask = labels < n_classes
+    imgs, labels = imgs[mask], labels[mask]
+    imgs, labels = imgs[:ds_size], labels[:ds_size]
+    x = imgs.reshape(len(imgs), -1).astype(np.float64)
+    return x, labels.astype(np.int64), h, w
+
+
+def _resize(imgs: np.ndarray, side: int) -> np.ndarray:
+    """Nearest-neighbour resize of (N, H, W) to (N, side, side)."""
+    n, h, w = imgs.shape[:3]
+    ri = (np.arange(side) * h // side).clip(0, h - 1)
+    ci = (np.arange(side) * w // side).clip(0, w - 1)
+    return imgs[:, ri][:, :, ci]
+
+
+def _load_mnist_like(name, roots, img_names, lbl_names, side, fallback="digits"):
+    pair = _find_idx_pair(roots, img_names, lbl_names)
+    if pair is not None:
+        imgs = _read_idx(pair[0]).astype(np.float64) / 255.0
+        labels = _read_idx(pair[1]).astype(np.int64)
+        if imgs.shape[1] != side:
+            imgs = _resize(imgs, side)
+        return imgs, labels
+    cache = _load_npz_cache(f"{name}_{side}")
+    if cache is not None:
+        imgs, labels = cache
+        imgs = imgs.astype(np.float64)
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
+        if imgs.shape[1] != side:
+            imgs = _resize(imgs, side)
+        return imgs, labels.astype(np.int64)
+    if fallback == "digits":
+        return _digits_fallback(side, name)
+    return _texture_fallback(side, name)
+
+
+# ---------------------------------------------------------------------------
+# reference loaders (src/data.py)
+# ---------------------------------------------------------------------------
+
+def mnist_8x8(n_classes=10, ds_size=100):
+    """sklearn digits (reference src/data.py:10-17) — always offline-safe."""
+    x, y = _sk_datasets.load_digits(n_class=n_classes, return_X_y=True)
+    x = (x / 16.0).reshape(-1, 64)
+    x, y = x[:ds_size], y[:ds_size]
+    return x.astype(np.float64), y.astype(np.int64), 8, 8
+
+
+def mnist_28x28(n_classes=10, ds_size=100):
+    imgs, labels = _load_mnist_like(
+        "mnist", ["~/mnist", "~/data/mnist", str(DATA_DIR / "mnist")],
+        ["train-images-idx3-ubyte", "train-images.idx3-ubyte"],
+        ["train-labels-idx1-ubyte", "train-labels.idx1-ubyte"], 28)
+    return _finish(imgs, labels, n_classes, ds_size, 28, 28)
+
+
+def mnist_32x32(n_classes=10, ds_size=100):
+    imgs, labels = _load_mnist_like(
+        "mnist", ["~/mnist", str(DATA_DIR / "mnist")],
+        ["train-images-idx3-ubyte"], ["train-labels-idx1-ubyte"], 32)
+    return _finish(imgs, labels, n_classes, ds_size, 32, 32)
+
+
+def fashion_28x28(n_classes=10, ds_size=100):
+    imgs, labels = _load_mnist_like(
+        "fashion", ["~/fashion", str(DATA_DIR / "fashion")],
+        ["train-images-idx3-ubyte"], ["train-labels-idx1-ubyte"], 28,
+        fallback="texture")
+    return _finish(imgs, labels, n_classes, ds_size, 28, 28)
+
+
+def emnist_28x28(n_classes=10, ds_size=100):
+    """EMNIST letters; the reference rotates -90° and flips horizontally to
+    fix the raw orientation and remaps labels 1..26 -> 0..25
+    (reference src/data.py:199-225)."""
+    pair = _find_idx_pair(
+        ["~/emnist", str(DATA_DIR / "emnist")],
+        ["emnist-letters-train-images-idx3-ubyte"],
+        ["emnist-letters-train-labels-idx1-ubyte"])
+    if pair is not None:
+        imgs = _read_idx(pair[0]).astype(np.float64) / 255.0
+        labels = _read_idx(pair[1]).astype(np.int64) - 1
+        imgs = np.rot90(imgs, k=-1, axes=(1, 2))[:, :, ::-1]
+    else:
+        imgs, labels = _digits_fallback(28, "emnist_letters")
+    return _finish(imgs, labels, n_classes, ds_size, 28, 28)
+
+
+def cifar10_32x32(n_classes=10, ds_size=100):
+    cache = _load_npz_cache("cifar10_32")
+    if cache is not None:
+        imgs, labels = cache
+        imgs = imgs.astype(np.float64)
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
+        if imgs.ndim == 4:  # rgb -> grayscale like the reference transform
+            imgs = imgs @ np.array([0.2989, 0.587, 0.114])
+    else:
+        imgs, labels = _texture_fallback(32, "cifar10")
+    return _finish(imgs, labels, n_classes, ds_size, 32, 32)
+
+
+def _face_like(name, side, label_or_classes, ds_size):
+    cache = _load_npz_cache(f"{name}_{side}")
+    if cache is not None:
+        imgs, labels = cache
+        imgs = imgs.astype(np.float64)
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
+    else:
+        imgs, labels = _texture_fallback(side, name)
+    return imgs, labels
+
+
+def celeba_32x32(label=1, ds_size=10000):
+    imgs, labels = _face_like("celeba", 32, label, ds_size)
+    mask = labels == label
+    if mask.sum() == 0:
+        mask = np.ones(len(labels), bool)
+    imgs, labels = imgs[mask][:ds_size], labels[mask][:ds_size]
+    return imgs.reshape(len(imgs), -1), labels.astype(np.int64), 32, 32
+
+
+def celeba_64x64(label=1, ds_size=10000):
+    imgs, labels = _face_like("celeba", 64, label, ds_size)
+    mask = labels == label
+    if mask.sum() == 0:
+        mask = np.ones(len(labels), bool)
+    imgs, labels = imgs[mask][:ds_size], labels[mask][:ds_size]
+    return imgs.reshape(len(imgs), -1), labels.astype(np.int64), 64, 64
+
+
+def _lfw(side, n_classes, ds_size):
+    try:
+        people = _sk_datasets.fetch_lfw_people(resize=None,
+                                               download_if_missing=False)
+        imgs = people.images / 255.0 if people.images.max() > 1.5 else people.images
+        imgs = _resize(imgs, side)
+        labels = people.target
+    except Exception:
+        imgs, labels = _face_like(f"lfw", side, n_classes, ds_size)
+    return _finish(imgs, labels, n_classes, ds_size, side, side)
+
+
+def lfw_28x28(n_classes=10, ds_size=1000):
+    return _lfw(28, n_classes, ds_size)
+
+
+def lfw_64x64(n_classes=10, ds_size=1000):
+    return _lfw(64, n_classes, ds_size)
+
+
+def lfw_128x128(n_classes=10, ds_size=1000):
+    return _lfw(128, n_classes, ds_size)
+
+
+def lfw_512x512(n_classes=10, ds_size=1000):
+    return _lfw(512, n_classes, ds_size)
+
+
+# ---------------------------------------------------------------------------
+# loaders required by the rebuttal drivers but missing from the reference
+# release (SURVEY §8.5)
+# ---------------------------------------------------------------------------
+
+def _medmnist(name, side, n_classes, ds_size):
+    cache = _load_npz_cache(f"{name}_{side}") or _load_npz_cache(name)
+    if cache is not None:
+        imgs, labels = cache
+        imgs = imgs.astype(np.float64)
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
+        if imgs.ndim == 4:
+            imgs = imgs.mean(axis=-1)
+        labels = labels.reshape(-1)
+    else:
+        imgs, labels = _texture_fallback(side, name)
+    return _finish(imgs, labels, n_classes, ds_size, side, side)
+
+
+def bloodmnist_28x28(n_classes=8, ds_size=500):
+    return _medmnist("bloodmnist", 28, n_classes, ds_size)
+
+
+def PneumoniaMNIST_28x28(n_classes=2, ds_size=500):
+    return _medmnist("pneumoniamnist", 28, n_classes, ds_size)
+
+
+def pathmnist_28x28(n_classes=9, ds_size=500):
+    return _medmnist("pathmnist", 28, n_classes, ds_size)
+
+
+def fruit_64x64(n_classes=10, ds_size=500):
+    return _medmnist("fruit360", 64, n_classes, ds_size)
+
+
+def logo2kplus_28x28(n_classes=10, ds_size=500):
+    return _medmnist("logo2kplus", 28, n_classes, ds_size)
+
+
+def xray_64x64(n_classes=2, ds_size=500):
+    return _medmnist("xray", 64, n_classes, ds_size)
+
+
+ALL_LOADERS = {
+    name: fn for name, fn in list(globals().items())
+    if callable(fn) and not name.startswith("_") and name not in (
+        "DATA_DIR", "ALL_LOADERS")
+}

@@ -1,0 +1,288 @@
+"""Diffusion engine: forward-noising pairs, jitted train step, scan sampler.
+
+Mirrors the reference ``Diffusion`` wrapper (src/models.py:8-150) with the
+training/sampling math kept exactly:
+
+* training ("data" goal): noise each image into a tau+1 chain, train the
+  denoiser to map chain step t+1 -> t, MSE (src/models.py:44-72);
+* training ("noise" goal): predict the *added* noise via the affine map
+  ``(net(x) - 0.5) * 0.1`` (src/models.py:74-104);
+* sampling: iterate the denoiser from a random image; "data" goal replaces x,
+  "noise" goal subtracts the scaled prediction and clips (src/models.py:106-147).
+
+TPU-native differences: the per-batch torch loop with ``.backward()`` inside
+``forward`` becomes a pure jitted ``value_and_grad`` step; whole epochs run
+as one ``lax.scan`` over shuffled index batches; sampling is one
+``lax.scan`` over denoise iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from einops import rearrange
+
+from . import noise as noise_mod
+
+
+class Diffusion:
+    """Torch-like wrapper pairing a denoiser shim with a noise schedule.
+
+    Matches the reference ctor (src/models.py:14-27):
+    ``Diffusion(net, noise_f, prediction_goal, shape, loss)``.
+    ``noise_f`` takes ``(key, data, tau, decay_mod)`` (our schedules are
+    explicitly keyed).
+    """
+
+    def __init__(self, net, noise_f=noise_mod.add_normal_noise_multiple,
+                 prediction_goal: str = "data",
+                 shape: Tuple[int, int] = (28, 28), loss: str = "mse"):
+        self.net = net
+        self.add_noise = noise_f
+        self.prediction_goal = prediction_goal
+        self.width, self.height = shape
+        self.loss = loss
+        self.training = False
+
+    # --- torch-like mode switches ------------------------------------------
+    def train(self, mode: bool = True):
+        self.training = mode
+        return self
+
+    def eval(self):
+        return self.train(False)
+
+    def save_name(self) -> str:
+        suffix = "_noise" if self.prediction_goal == "noise" else ""
+        return f"{self.net.save_name()}{suffix}"
+
+    def parameters(self):
+        return jax.tree_util.tree_leaves(self.net.params)
+
+    # --- functional pieces (jit-friendly) ----------------------------------
+    def loss_fn(self, params, extra_vars, key, x_flat, T: int):
+        """One training-step loss on a flat image batch ``(B, pixels)``.
+
+        Returns (loss, (per_elem_loss, recon, new_mutable_vars)).
+        """
+        tau = T + 1
+        chain = self.add_noise(key, x_flat, tau, 3.0)  # (B*tau, P) batch-major
+        c = rearrange(chain, "(b t) p -> b t p", t=tau)
+        noisy = rearrange(c[:, 1:, :], "b t (w h) -> (b t) 1 w h",
+                          w=self.width, h=self.height)
+        clean = rearrange(c[:, :-1, :], "b t (w h) -> (b t) 1 w h",
+                          w=self.width, h=self.height)
+        variables = {"params": params, **extra_vars}
+        mutable = self.net.mutable_collections
+        out = self.net.module.apply(variables, noisy, train=True,
+                                    mutable=mutable)
+        recon, new_vars = out if mutable else (out, {})
+        if self.prediction_goal == "data":
+            per_elem = (recon - clean) ** 2
+        else:
+            pred_noise = (recon - 0.5) * 0.1
+            real_noise = noisy - clean
+            per_elem = (pred_noise - real_noise) ** 2
+        return per_elem.mean(), (per_elem, recon, new_vars)
+
+    def make_train_step(self, optimizer, T: int):
+        """Jitted (params, opt_state, extra_vars, key, x_flat) -> updated."""
+
+        @jax.jit
+        def step(params, opt_state, extra_vars, key, x_flat):
+            (loss, (_, _, new_vars)), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(params, extra_vars, key, x_flat, T)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            extra_vars = {**extra_vars, **new_vars}
+            return params, opt_state, extra_vars, loss
+
+        return step
+
+    def make_epoch_fn(self, optimizer, T: int, batch_size: int):
+        """One FULL epoch as a single jitted program.
+
+        Shuffles with a dropless scheme: indices are padded to a multiple of
+        ``batch_size`` with -1 and padded rows get zero loss-weight, matching
+        the reference's final-partial-batch behavior (torch DataLoader with
+        drop_last=False, src/mnist_exm.py:404-408).
+        """
+        net = self.net
+
+        @functools.partial(jax.jit, static_argnames=("n_train",))
+        def epoch(params, opt_state, extra_vars, key, x_train, n_train: int):
+            n_batches = -(-n_train // batch_size)
+            pad = n_batches * batch_size - n_train
+            perm_key, noise_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, n_train)
+            perm = jnp.concatenate(
+                [perm, jnp.full((pad,), -1, dtype=perm.dtype)])
+            batches = perm.reshape(n_batches, batch_size)
+            noise_keys = jax.random.split(noise_key, n_batches)
+
+            def body(carry, inp):
+                params, opt_state, extra_vars = carry
+                idx, nk = inp
+                valid = (idx >= 0).astype(x_train.dtype)  # (bs,)
+                xb = x_train[jnp.maximum(idx, 0)]         # (bs, P)
+
+                def loss_fn(params):
+                    tau = T + 1
+                    chain = self.add_noise(nk, xb, tau, 3.0)
+                    c = rearrange(chain, "(b t) p -> b t p", t=tau)
+                    noisy = rearrange(c[:, 1:, :], "b t (w h) -> (b t) 1 w h",
+                                      w=self.width, h=self.height)
+                    clean = rearrange(c[:, :-1, :], "b t (w h) -> (b t) 1 w h",
+                                      w=self.width, h=self.height)
+                    variables = {"params": params, **extra_vars}
+                    mutable = net.mutable_collections
+                    out = net.module.apply(variables, noisy, train=True,
+                                           mutable=mutable)
+                    recon, new_vars = out if mutable else (out, {})
+                    if self.prediction_goal == "data":
+                        per = (recon - clean) ** 2
+                    else:
+                        per = ((recon - 0.5) * 0.1 - (noisy - clean)) ** 2
+                    # zero out padded rows; normalize by the real count
+                    wgt = jnp.repeat(valid, tau - 1)[:, None, None, None]
+                    denom = jnp.maximum(valid.sum(), 1.0) * (
+                        per.shape[0] // batch_size) * per[0].size
+                    return (per * wgt).sum() / denom, new_vars
+
+                (loss, new_vars), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, {**extra_vars, **new_vars}), loss
+
+            (params, opt_state, extra_vars), losses = jax.lax.scan(
+                body, (params, opt_state, extra_vars), (batches, noise_keys))
+            return params, opt_state, extra_vars, losses
+
+        return epoch
+
+    def make_multi_epoch_fn(self, optimizer, T: int, batch_size: int,
+                            epochs: int):
+        """ALL epochs' steps flattened into ONE ``lax.scan``.
+
+        A nested scan (epochs over batches) compiles ~10x slower on the TPU
+        toolchain than a single flattened scan; per-epoch losses are
+        recovered by reshaping the per-step loss trace.
+        """
+        net = self.net
+
+        @functools.partial(jax.jit, static_argnames=("n_train",))
+        def run(params, opt_state, extra_vars, key, x_train, n_train: int):
+            n_batches = -(-n_train // batch_size)
+            pad = n_batches * batch_size - n_train
+            perm_key, noise_key = jax.random.split(key)
+
+            def epoch_perm(k):
+                p = jax.random.permutation(k, n_train)
+                p = jnp.concatenate(
+                    [p, jnp.full((pad,), -1, dtype=p.dtype)])
+                return p.reshape(n_batches, batch_size)
+
+            perm_keys = jax.random.split(perm_key, epochs)
+            batches = jax.vmap(epoch_perm)(perm_keys).reshape(
+                epochs * n_batches, batch_size)
+            noise_keys = jax.random.split(noise_key, epochs * n_batches)
+
+            def body(carry, inp):
+                params, opt_state, extra_vars = carry
+                idx, nk = inp
+                valid = (idx >= 0).astype(x_train.dtype)
+                xb = x_train[jnp.maximum(idx, 0)]
+
+                def loss_fn(params):
+                    tau = T + 1
+                    chain = self.add_noise(nk, xb, tau, 3.0)
+                    c = rearrange(chain, "(b t) p -> b t p", t=tau)
+                    noisy = rearrange(c[:, 1:, :], "b t (w h) -> (b t) 1 w h",
+                                      w=self.width, h=self.height)
+                    clean = rearrange(c[:, :-1, :], "b t (w h) -> (b t) 1 w h",
+                                      w=self.width, h=self.height)
+                    variables = {"params": params, **extra_vars}
+                    mutable = net.mutable_collections
+                    out = net.module.apply(variables, noisy, train=True,
+                                           mutable=mutable)
+                    recon, new_vars = out if mutable else (out, {})
+                    if self.prediction_goal == "data":
+                        per = (recon - clean) ** 2
+                    else:
+                        per = ((recon - 0.5) * 0.1 - (noisy - clean)) ** 2
+                    wgt = jnp.repeat(valid, tau - 1)[:, None, None, None]
+                    denom = jnp.maximum(valid.sum(), 1.0) * (
+                        per.shape[0] // batch_size) * per[0].size
+                    return (per * wgt).sum() / denom, new_vars
+
+                (loss, new_vars), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, {**extra_vars, **new_vars}), loss
+
+            (params, opt_state, extra_vars), losses = jax.lax.scan(
+                body, (params, opt_state, extra_vars), (batches, noise_keys))
+            epoch_losses = losses.reshape(epochs, n_batches).sum(axis=1)
+            return params, opt_state, extra_vars, epoch_losses
+
+        return run
+
+    def sample_fn(self, variables, first_x, n_iters: int, *,
+                  only_last: bool = False, step: int = 1,
+                  noise_factor: float = 1.0):
+        """Iterative denoising as one ``lax.scan`` (src/models.py:106-147).
+
+        first_x: (b, 1, w, h). Returns either the last image (only_last) or
+        the reference's stacked grid ``(iters*h, b*w)``.
+        """
+        goal = self.prediction_goal
+        net = self.net
+
+        def body(x, _):
+            pred = net.module.apply(variables, x, train=False, mutable=False)
+            if goal == "data":
+                new_x = pred
+            else:
+                new_x = jnp.clip(x - (pred - 0.5) * 0.1 * noise_factor, 0.0, 1.0)
+            return new_x, new_x
+
+        last, xs = jax.lax.scan(body, first_x, None, length=n_iters)
+        if only_last:
+            return last
+        kept = xs[::step] if step > 1 else xs
+        outp = jnp.concatenate([first_x[None], kept], axis=0)
+        return rearrange(outp, "iters batch 1 height width -> "
+                               "(iters height) (batch width)")
+
+    # --- torch-like dispatch ------------------------------------------------
+    def __call__(self, x=None, key=None, **kwargs):
+        if self.training:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            T = kwargs.get("T", 10)
+            x_flat = jnp.asarray(x).reshape(len(x), -1)
+            loss, (per_elem, recon, _) = self.loss_fn(
+                self.net.params, self.net.extra_variables, key, x_flat, T)
+            if kwargs.get("verbose", False):
+                return jnp.abs(per_elem), jnp.abs(recon)
+            return (jnp.abs(loss),)
+        return self.sample(first_x=x, **kwargs)
+
+    forward = __call__
+
+    def sample(self, n_iters, first_x=None, labels=None, show_progress=False,
+               only_last=False, step=1, noise_factor=1.0, key=None):
+        if first_x is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            first_x = jax.random.uniform(
+                key, (10, 1, self.width, self.height))
+        fn = jax.jit(functools.partial(
+            self.sample_fn, n_iters=int(n_iters), only_last=only_last,
+            step=int(step), noise_factor=float(noise_factor)))
+        return fn(self.net.variables, jnp.asarray(first_x))

@@ -1,0 +1,105 @@
+"""Quantum convolution: amplitude-embedded patch circuits as batched matmuls.
+
+Reference: nn/qconv.py. ``_QConv2d_FAST`` unfolds k x k x Cin patches,
+amplitude-embeds each (pad 0.5, normalize), applies SEL(qw_tanh(w)) and reads
+probabilities back as output channels. Two faithfulness notes:
+
+* The released FAST forward never invokes its circuit — the quantum path is
+  dead and raw unfolded pixels are post-processed instead (reference
+  nn/qconv.py:71-87; SURVEY §8.6). This module implements the *intended*
+  semantics (the eval-time ``sample_qnode`` path, nn/qconv.py:92-126, which
+  precomputes the SEL unitary and replays it — exactly our fast path, used
+  for training too since unitary composition is differentiable).
+  ``compat_dead_qnode=True`` reproduces the released (buggy) behavior.
+* MEDIUM/SLOW chain per-in-channel Mottonen preparations on the SAME wires;
+  on a simulator a mid-circuit state preparation is realized by direct state
+  injection of the (normalized) target amplitudes, which discards the
+  incoming state — semantically what their chained MottonenStatePreparation
+  does to each channel's fresh re-encode. They share this module's math with
+  per-channel weights summed into one unitary chain.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..sim.gates import qw_tanh
+from ..sim.sel import sel_unitary
+from ..sim.statevector import amplitude_embed, apply_unitary, probs
+from .initializers import qconv_uniform
+
+
+class QConv2d(nn.Module):
+    """Quantum 2-D convolution (the reference's ``QConv2d = _QConv2d_FAST``).
+
+    Input/output NCHW. wires = max(ceil(log2(k*k*Cin)), ceil(log2(Cout)), 1).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: Tuple[int, int] = (1, 1)
+    qdepth: int = 2
+    compat_dead_qnode: bool = False
+
+    @property
+    def wires(self) -> int:
+        kh, kw = self.kernel_size
+        w_in = math.ceil(math.log2(kh * kw * self.in_channels))
+        w_out = math.ceil(math.log2(self.out_channels))
+        return max(w_in, w_out, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, c, h_in, w_in = x.shape
+        assert c == self.in_channels, \
+            f"Expected {self.in_channels} channels, got {c}"
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        h_out = h_in + 2 * ph - kh + 1
+        w_out = w_in + 2 * pw - kw + 1
+        wires = self.wires
+        if wires > 10:
+            warnings.warn(f"Too many wires ({wires}). "
+                          "This might cause performance issues.")
+
+        weights = self.param("qweights", qconv_uniform(),
+                             (self.qdepth, wires, 3))
+
+        # unfold: (b, C*kh*kw, h_out*w_out) with (c, kh, kw)-major features,
+        # matching torch.nn.Unfold
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), (1, 1), [(ph, ph), (pw, pw)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        feats = patches.reshape(b, c * kh * kw, h_out * w_out)
+        feats = jnp.transpose(feats, (0, 2, 1)).reshape(-1, c * kh * kw)
+        feats = feats + 0.1  # reference nn/qconv.py:78 (avoid zero patches)
+
+        if self.compat_dead_qnode:
+            # released behavior: post-process raw pixels, never run the circuit
+            q = feats
+        else:
+            u = sel_unitary(qw_tanh(weights), imprimitive="cnot")
+            states = amplitude_embed(feats, wires, pad_with=0.5,
+                                     dtype=u.dtype)
+            q = probs(apply_unitary(states, u))
+
+        # post-process (reference nn/qconv.py:58-69)
+        q = jnp.clip(q * q.shape[-1] * 0.5, 0.0, 1.0)
+        q = q[:, ::2]                      # drop |...1> amplitudes
+        q = q[:, : self.out_channels]
+        if q.shape[-1] < self.out_channels:
+            q = jnp.pad(q, ((0, 0), (0, self.out_channels - q.shape[-1])))
+        return jnp.transpose(
+            q.reshape(b, h_out, w_out, self.out_channels), (0, 3, 1, 2))
+
+    def __repr__(self):
+        return (f"QConv2d({self.in_channels}, {self.out_channels}, "
+                f"kernel_size={self.kernel_size}, padding={self.padding}, "
+                f"wires={self.wires})")

@@ -165,26 +165,34 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     layer, reference nn/qdense.py:1302-1305); block_weights: (L, k, wires, 3).
     readout: "probs" -> (batch, 2**w) or "expvalz" -> (batch, wires).
     """
+    import jax
+
+    from .sel import sel_unitaries
+
     L, k, wires, _ = block_weights.shape
     batch = x_enc.shape[0]
     x_enc = _encode_angles(x_enc, encode, noise)
-    us = [sel_unitary(block_weights[i], imprimitive=imprimitive).astype(cdtype)
-          for i in range(L)]
+    # all L spectrum-layer unitaries composed in one batched op (constant
+    # program size in L — compile time matters on TPU)
+    us = sel_unitaries(block_weights, imprimitive=imprimitive).astype(cdtype)
 
     if not _needs_dm(noise):
         states = zero_state(batch, wires, dtype=cdtype)
         if encode in ("rz", "rz_halfpi"):
             phases = rz_phases(x_enc, wires)
-        for i in range(L):
-            if encode in ("rz", "rz_halfpi"):
-                states = states * phases
-            elif encode == "ry":
-                from .statevector import apply_ry_all
 
-                states = apply_ry_all(states, x_enc)
-            else:
-                raise ValueError(f"unknown encode {encode!r}")
-            states = apply_unitary(states, us[i])
+            def body(states, u):
+                return apply_unitary(states * phases, u), None
+
+        elif encode == "ry":
+            from .statevector import apply_ry_all
+
+            def body(states, u):
+                return apply_unitary(apply_ry_all(states, x_enc), u), None
+
+        else:
+            raise ValueError(f"unknown encode {encode!r}")
+        states, _ = jax.lax.scan(body, states, us)
         if readout == "probs":
             return probs(states)
         return expval_z(states)
@@ -193,20 +201,25 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     kraus = _kraus_array(noise, cdtype)
     rho = dm.zero_density(batch, wires, dtype=cdtype)
     phases = rz_phases(x_enc, wires) if encode in ("rz", "rz_halfpi") else None
-    for i in range(L):
-        if phases is not None:
-            rho = dm.apply_diag(rho, phases)
-        elif encode == "ry":
-            # RY per wire on a density matrix via its 2x2 unitaries
-            from .gates import ry_matrix
 
-            for j in range(wires):
-                g = ry_matrix(x_enc[:, j]).astype(cdtype)  # (b, 2, 2)
-                ks = g[:, None, :, :]  # single "Kraus" op, batched
-                rho = _apply_1q_batched_unitary(rho, ks[:, 0], j, wires)
+    def encode_rho(rho):
+        if phases is not None:
+            return dm.apply_diag(rho, phases)
+        # RY per wire on a density matrix via its 2x2 unitaries
+        from .gates import ry_matrix
+
+        for j in range(wires):
+            g = ry_matrix(x_enc[:, j]).astype(cdtype)  # (b, 2, 2)
+            rho = _apply_1q_batched_unitary(rho, g, j, wires)
+        return rho
+
+    def body(rho, u):
+        rho = encode_rho(rho)
         if noise.placement == "encode":
             rho = dm.apply_kraus_all_wires(rho, kraus)
-        rho = dm.apply_unitary(rho, us[i])
+        return dm.apply_unitary(rho, u), None
+
+    rho, _ = jax.lax.scan(body, rho, us)
     if noise.placement == "end":
         rho = dm.apply_kraus_all_wires(rho, kraus)
     if readout == "probs":

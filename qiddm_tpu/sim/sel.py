@@ -6,17 +6,18 @@ per layer, a 3-parameter rotation on every wire followed by a ring of
 two-qubit imprimitives (CNOT by default, CZ for the QIDDM family) whose
 "range" r cycles ``r_l = (l mod (wires-1)) + 1``.
 
-TPU-native realization: the whole block is *data independent*, so we compose
-it into one ``(2**w, 2**w)`` unitary per block per step and apply it to the
-entire image batch with a single complex matmul (`statevector.apply_unitary`).
-That turns the reference's per-sample Python loops (e.g. reference
-nn/qdense.py:1631-1635) into pure MXU work. Composition itself is one small
-matmul per layer:
+TPU-native realization: a block is *data independent*, so we compose it into
+one ``(2**w, 2**w)`` unitary per block per step and apply it to the entire
+image batch with a single complex matmul. Composition is built to keep the
+XLA program SIZE constant in depth (compile time matters as much as run
+time on TPU):
 
-* the per-wire rotations form a Kronecker product of 2x2 matrices;
-* a CZ ring of any range is a *fixed diagonal* sign vector;
-* a CNOT ring of any range is a *fixed basis permutation* (computed once in
-  numpy at trace time — the sequential bit updates are data independent).
+* per-wire rotations for ALL layers at once form a batched Kronecker chain —
+  ``wires-1`` einsum ops total, regardless of layer count;
+* a CZ ring of any range is a fixed diagonal sign vector; a CNOT ring is a
+  fixed basis permutation (both precomputed in numpy) — applied to all
+  layers with one batched gather/multiply;
+* layers compose with one ``lax.scan`` of matmuls.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,8 +66,7 @@ def cnot_ring_perm(wires: int, rng: int) -> np.ndarray:
     order* (later gates see earlier gates' flips). Each basis state maps to
     exactly one basis state: target_bit ^= control_bit sequentially.
 
-    Returns ``inv`` such that ``(U_ring @ M) == M[inv, :]`` for any matrix M,
-    i.e. ``inv[r] = f^{-1}(r)`` where ``f`` is the basis permutation.
+    Returns ``inv`` such that ``(U_ring @ M) == M[inv, :]`` for any matrix M.
     """
     dim = 2**wires
     if wires == 1 or rng == 0:
@@ -82,47 +83,99 @@ def cnot_ring_perm(wires: int, rng: int) -> np.ndarray:
     return inv
 
 
-def _kron_rot_layer(layer_weights):
-    """Kronecker product of per-wire Rot matrices.
+def _batched_kron_chain(mats):
+    """Batched Kronecker product over the wire axis.
 
-    layer_weights: (wires, 3) -> (2**wires, 2**wires) complex.
+    mats: (..., wires, 2, 2) -> (..., 2**wires, 2**wires), wire 0 = MSB.
+    ``wires - 1`` steps regardless of the leading batch shape.
+
+    Built by 2x2 BLOCK assembly from the least-significant wire up
+    (``u <- kron(m_j, u)``) so every intermediate is a plain row-major
+    (..., p, p) matrix — the naive interleaved-einsum construction creates
+    (..., p, 2, p, 2) temporaries whose tiny trailing dims TPU pads ~40x
+    (observed 30GB HLO temp for a depth-60, 10-wire block).
     """
-    wires = layer_weights.shape[0]
-    mats = rot_matrix(
-        layer_weights[:, 0], layer_weights[:, 1], layer_weights[:, 2]
-    )  # (wires, 2, 2)
-    u = mats[0]
-    for j in range(1, wires):
-        u = jnp.kron(u, mats[j])
+    wires = mats.shape[-3]
+    u = mats[..., wires - 1, :, :]
+    for j in range(wires - 2, -1, -1):
+        m = mats[..., j, :, :]
+        top = jnp.concatenate(
+            [m[..., 0:1, 0:1] * u, m[..., 0:1, 1:2] * u], axis=-1)
+        bot = jnp.concatenate(
+            [m[..., 1:2, 0:1] * u, m[..., 1:2, 1:2] * u], axis=-1)
+        u = jnp.concatenate([top, bot], axis=-2)
     return u
 
 
-def sel_unitary(weights, imprimitive: str = "cnot", start_layer: int = 0):
-    """Compose an SEL block into a dense unitary.
+def _entangled_layers(weights, imprimitive: str):
+    """All layers' (rotation-kron x ring) unitaries, batched.
 
-    weights: (layers, wires, 3). ``start_layer`` offsets the range cycle when
-    a block logically continues a deeper template (the reference always
-    restarts the template per block — call sites use the default 0).
+    weights: (layers, wires, 3) -> (layers, d, d). Program size O(wires).
     """
     layers, wires, _ = weights.shape
-    ranges = sel_ranges(layers + start_layer, wires)[start_layer:]
+    mats = rot_matrix(weights[..., 0], weights[..., 1], weights[..., 2])
+    layer_u = _batched_kron_chain(mats)  # (layers, d, d)
+    if wires == 1:
+        return layer_u
+    ranges = sel_ranges(layers, wires)
+    if imprimitive == "cz":
+        signs = np.stack([cz_ring_signs(wires, r) for r in ranges])
+        return jnp.asarray(signs[:, :, None], layer_u.dtype) * layer_u
+    if imprimitive == "cnot":
+        inv = np.stack([cnot_ring_perm(wires, r) for r in ranges])
+        return jnp.take_along_axis(
+            layer_u, jnp.asarray(inv)[:, :, None], axis=1)
+    raise ValueError(f"unknown imprimitive {imprimitive!r}")
+
+
+def sel_unitary(weights, imprimitive: str = "cnot"):
+    """Compose an SEL block into a dense unitary.
+
+    weights: (layers, wires, 3) -> (2**wires, 2**wires). Composition is a
+    ``lax.scan`` of matmuls: constant program size in depth.
+    """
+    layers, wires, _ = weights.shape
     dim = 2**wires
-    u = None
-    for l in range(layers):
-        layer_u = _kron_rot_layer(weights[l])
-        if wires > 1:
-            if imprimitive == "cz":
-                signs = jnp.asarray(cz_ring_signs(wires, ranges[l]))
-                layer_u = signs[:, None].astype(layer_u.dtype) * layer_u
-            elif imprimitive == "cnot":
-                inv = jnp.asarray(cnot_ring_perm(wires, ranges[l]))
-                layer_u = layer_u[inv, :]
-            else:
-                raise ValueError(f"unknown imprimitive {imprimitive!r}")
-        u = layer_u if u is None else jnp.matmul(
-            layer_u, u, precision=_config.matmul_precision())
-    if u is None:
-        u = jnp.eye(dim, dtype=jnp.complex64)
+    lus = _entangled_layers(weights, imprimitive)
+
+    if layers == 1:
+        return lus[0]
+
+    prec = _config.matmul_precision()
+
+    def body(acc, u):
+        return jnp.matmul(u, acc, precision=prec), None
+
+    acc, _ = jax.lax.scan(body, lus[0], lus[1:])
+    return acc
+
+
+def sel_unitaries(weights, imprimitive: str = "cz"):
+    """Batched block composition for the re-uploading family.
+
+    weights: (n_blocks, k, wires, 3) -> (n_blocks, d, d), where each block
+    restarts the range cycle (the reference instantiates a fresh template per
+    spectrum layer). One vmapped composition — program size O(wires + k).
+    """
+    n_blocks, k, wires, _ = weights.shape
+    mats = rot_matrix(weights[..., 0], weights[..., 1], weights[..., 2])
+    layer_u = _batched_kron_chain(mats)  # (n_blocks, k, d, d)
+    prec = _config.matmul_precision()
+    if wires > 1:
+        ranges = sel_ranges(k, wires)
+        if imprimitive == "cz":
+            signs = np.stack([cz_ring_signs(wires, r) for r in ranges])
+            layer_u = jnp.asarray(signs[None, :, :, None],
+                                  layer_u.dtype) * layer_u
+        elif imprimitive == "cnot":
+            inv = np.stack([cnot_ring_perm(wires, r) for r in ranges])
+            layer_u = jnp.take_along_axis(
+                layer_u, jnp.asarray(inv)[None, :, :, None], axis=2)
+        else:
+            raise ValueError(f"unknown imprimitive {imprimitive!r}")
+    u = layer_u[:, 0]
+    for l in range(1, k):  # k <= 3 in every reference config
+        u = jnp.einsum("bij,bjk->bik", layer_u[:, l], u, precision=prec)
     return u
 
 

@@ -1,0 +1,100 @@
+"""Model-zoo construction/shape/gradient tests for all 27 public names."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qiddm_tpu import nn
+
+RNG = np.random.default_rng(3)
+
+
+def _img(b=4, s=8):
+    return jnp.asarray(RNG.uniform(size=(b, 1, s, s)), jnp.float32)
+
+
+# (ctor, args, expected save_name) — small 8x8 configs for speed
+ZOO = [
+    (nn.QDenseUndirected_old, (3, 8), "QDenseUndirected_old3_w8_h8"),
+    (nn.QDenseUndirected_old_noise, (3, 8, 2), "QDenseUndirected_old_noise3_w8_h8_noise2"),
+    (nn.QNN_A, (3, 8, 0), "QNN_A3_w8_h8_noise0"),
+    (nn.QNN_noise, (64, 4, 3, 1), "QNN_linear_features=4_qdepth=3_add_noise=1"),
+    (nn.QNN, (64, 4, 3), "QNN_linear_features=4_qdepth=3"),
+    (nn.differN_noise, (8, 2, 2, 0), "differN_old_pca=2_N=2_w8_h8_noise0"),
+    (nn.differN_noise_befor, (8, 2, 2, 0), "differN_noise=2_N=2_w8_h8"),
+    (nn.differN_old_pca, (8, 2, 2), "differN_old_pca=2_N=2_w8_h8"),
+    (nn.differN_new_pca, (8, 2, 2), "differN_new_pca=2_N=2_w8_h8"),
+    (nn.differN_new_conv, (8, 2, 2), "differN_new_conv=2_N=2_w8_h8"),
+    (nn.differN_old_conv, (8, 2, 2), "differN_old_conv=2_N=2_w8_h8"),
+    (nn.QIDDM_A_sameN, (8, 2, 2), "QIDDM_A_sameN=2_N=2_w8_h8"),
+    (nn.QIDDM_A_differN_basePL, (8, 2, 2), "QIDDM_pca_features=6_L=2_N=2"),
+    (nn.QIDDM_A_differN_NEW, (8, 2, 2), "QIDDM_pca_new=6_L=2_N=2"),
+    (nn.QIDDM_PL, (64, 4, 2, 2), "QIDDM_PL=4_L=2_N=2"),
+    (nn.QIDDM_PL_old, (64, 4, 2, 2), "QIDDM_PL_old_q=4_L=2_N=2"),
+    (nn.QIDDM_PL_noise, (64, 4, 2, 2, 1), "QIDDM_PL_noise=4_L=2_N=2"),
+    (nn.QIDDM_PL_noise1, (64, 4, 2, 2, 0), "QIDDM_PL_noise=4_L=2_N=2"),
+    (nn.QIDDM_LL_noise, (64, 4, 2, 2, 0), "QIDDM_LL_noise=4_L=2_N=2"),
+    (nn.QIDDM_LL_relu_noise, (64, 4, 2, 2, 0), "QIDDM_LL_noise=4_L=2_N=2"),
+    (nn.QIDDM_LL_old, (64, 4, 2, 2), "QIDDM_linear_features=4_L=2_N=2"),
+    (nn.QIDDM_L, (64, 4, 2, 2), "QIDDM_linear_features=4_L=2_N=2"),
+    (nn.QIDDM_bias_false, (64, 4, 2, 2), "QIDDM_linear_features=4_L=2_N=2"),
+    (nn.QIDDM_L_B, (64, 4, 2, 2), "QIDDM_linear_batch_features=4_L=2_N=2"),
+    (nn.QIDDM_CL_new, (64, 4, 2, 2), "QIDDM_CL_new_q=4_L=2_N=2"),
+    (nn.QIDDM_CL_old, (64, 4, 2, 2), "QIDDM_CL_old_q=4_L=2_N=2"),
+    (nn.QIDDM_PP_noise, (64, 4, 2, 2, 0), "QIDDM_PP_noise=4_L=2_N=2"),
+    (nn.QIDDM_PP_old, (64, 4, 2, 2), "QIDDM_PP_features=4_L=2_N=2"),
+]
+
+
+@pytest.mark.parametrize("ctor,args,save", ZOO,
+                         ids=[c.__name__ + ("'" if s.endswith("'") else "")
+                              for c, a, s in ZOO][:len(ZOO)])
+def test_model_forward_shape_and_name(ctor, args, save):
+    net = ctor(*args)
+    assert net.save_name() == save
+    x = _img()
+    y = net(x)
+    assert y.shape == x.shape, f"{ctor.__name__}: {y.shape}"
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.parametrize("ctor,args", [
+    (nn.QDenseUndirected_old, (3, 8)),
+    (nn.differN_noise, (8, 2, 2, 0)),
+    (nn.QIDDM_LL_noise, (64, 4, 2, 2, 0)),
+    (nn.QIDDM_PP_old, (64, 4, 2, 2)),
+    (nn.QIDDM_L_B, (64, 4, 2, 2)),
+])
+def test_model_gradients_flow_to_qweights(ctor, args):
+    net = ctor(*args)
+    x = _img()
+
+    def loss(params):
+        variables = {"params": params, **net.extra_variables}
+        mutable = net.mutable_collections
+        out = net.module.apply(variables, x, train=True, mutable=mutable)
+        y = out[0] if mutable else out
+        return jnp.mean((y - 0.5) ** 2)
+
+    g = jax.grad(loss)(net.params)
+    leaves = {p: np.abs(np.asarray(v)).max()
+              for p, v in jax.tree_util.tree_leaves_with_path(g)}
+    qleaf = [v for p, v in leaves.items() if "qweights" in str(p)]
+    assert qleaf and all(np.isfinite(v) for v in qleaf)
+    assert max(qleaf) > 0, "quantum weights got zero gradient"
+
+
+def test_string_int_args_accepted():
+    net = nn.QNN("8 * 8", "4", "3")
+    assert net.save_name() == "QNN_linear_features=4_qdepth=3"
+
+
+def test_param_counts_match_reference_formulas():
+    # QIDDM_LL: linear down (D*h + h) + linear up (h*D + D) + qweights N*L*2*h*3
+    net = nn.QIDDM_LL_noise(64, 4, 2, 2, 0)
+    want = (64 * 4 + 4) + (4 * 64 + 64) + 2 * 2 * 2 * 4 * 3
+    assert net.num_params() == want
+    # Qdense: only SEL weights qdepth*wires*3
+    net = nn.QDenseUndirected_old(5, 8)
+    assert net.num_params() == 5 * 6 * 3

@@ -1,0 +1,110 @@
+"""Tests for QConv2d, UNet family, and the DeepConv baselines."""
+
+import flax.linen  # noqa: F401  (ensure flax importable before models)
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qiddm_tpu import nn as qnn
+from qiddm_tpu.nn.qconv import QConv2d
+
+RNG = np.random.default_rng(11)
+
+
+def _img(b=2, c=1, s=8):
+    return jnp.asarray(RNG.uniform(size=(b, c, s, s)), jnp.float32)
+
+
+def test_qconv_shapes_and_wires():
+    m = QConv2d(in_channels=1, out_channels=8, kernel_size=(3, 3),
+                padding=(1, 1), qdepth=2)
+    assert m.wires == max(int(np.ceil(np.log2(9))), 3, 1) == 4
+    x = _img()
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (2, 8, 8, 8)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert np.asarray(y).min() >= 0 and np.asarray(y).max() <= 1
+
+
+def test_qconv_quantum_path_is_live():
+    """The released reference never calls its circuit (dead qnode,
+    nn/qconv.py:71-87). Ours must: output must depend on the weights."""
+    m = QConv2d(in_channels=1, out_channels=4, qdepth=2)
+    x = _img()
+    v1 = m.init(jax.random.PRNGKey(0), x)
+    v2 = jax.tree_util.tree_map(lambda p: p + 0.7, v1)
+    y1, y2 = m.apply(v1, x), m.apply(v2, x)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    # compat mode reproduces the dead-circuit behavior: weight independent
+    mc = QConv2d(in_channels=1, out_channels=4, qdepth=2,
+                 compat_dead_qnode=True)
+    y1c = mc.apply(v1, x)
+    y2c = mc.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(y1c), np.asarray(y2c))
+
+
+def test_unet_classical_forward_and_train_shapes():
+    net = qnn.UNetUndirected(3, 8, 0, img_shape=(28, 28))
+    assert net.save_name() == "unet_undirected_d3_s8_d0"
+    x = jnp.asarray(RNG.uniform(size=(2, 1, 28, 28)), jnp.float32)
+    y = net(x)
+    assert y.shape == (2, 1, 28, 28)
+    # train-mode apply with mutable batch stats
+    out, new_vars = net.module.apply(net.variables, x, train=True,
+                                     mutable=["batch_stats"])
+    assert out.shape == x.shape
+    assert "batch_stats" in new_vars
+
+
+def test_unet_quantum_small():
+    net = qnn.UNetUndirected(2, 2, 1, img_shape=(8, 8))
+    x = _img(b=1)
+    y = net(x)
+    assert y.shape == (1, 1, 8, 8)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_unet_directed_label_mask():
+    net = qnn.UnetDirected(2, 4, 0, img_shape=(8, 8))
+    assert net.save_name() == "unet_directed_d2_s4_d0"
+    x = _img(b=3)
+    y0 = net(x, np.zeros(3, np.int32))
+    y1 = net(x, np.full(3, 5, np.int32))
+    assert y0.shape == x.shape
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_unet_simple_variant():
+    net = qnn.UNetUndirectedS(2, 2, 1, img_shape=(8, 8))
+    assert net.save_name() == "unet_s_undirected_d2_s2_d1"
+    y = net(_img(b=1))
+    assert y.shape == (1, 1, 8, 8)
+
+
+def test_deep_conv_models():
+    net = qnn.DeepConvUndirected([1, 4, 4, 1], (8, 8))
+    assert net.save_name() == "deep_conv_undirected_1_4_4_1"
+    y = net(_img())
+    assert y.shape == (2, 1, 8, 8)
+    assert np.asarray(y).min() >= 0 and np.asarray(y).max() <= 1  # sigmoid
+
+    multi = qnn.DeepConvDirectedMulti([1, 4, 1], (8, 8))
+    ym = multi(_img(b=3), np.arange(3))
+    assert ym.shape == (3, 1, 8, 8)
+
+    single = qnn.DeepConvDirectedSingle([1, 4, 1], (8, 8))
+    ys = single(_img(b=3), np.arange(3))
+    assert ys.shape == (3, 1, 8, 8)
+
+
+def test_autopad_autocrop():
+    from qiddm_tpu.nn.utils import autocrop, autopad
+
+    a = jnp.zeros((1, 1, 8, 8))
+    b = jnp.ones((1, 1, 6, 6))
+    a2, b2 = autopad(a, b)
+    assert b2.shape == (1, 1, 8, 8)
+    assert float(b2[0, 0, 0, 0]) == 0.0  # padded corner
+    a3, b3 = autocrop(b, a)
+    assert b3.shape == (1, 1, 6, 6)
