@@ -167,14 +167,20 @@ class Diffusion:
         return epoch
 
     def make_multi_epoch_fn(self, optimizer, T: int, batch_size: int,
-                            epochs: int):
+                            epochs: int, mesh=None):
         """ALL epochs' steps flattened into ONE ``lax.scan``.
 
         A nested scan (epochs over batches) compiles ~10x slower on the TPU
         toolchain than a single flattened scan; per-epoch losses are
         recovered by reshaping the per-step loss trace.
+
+        With ``mesh``, the tau-expanded compute batch is sharded over the
+        mesh's ``data`` axis (dataset stays replicated — it is tiny); XLA's
+        SPMD partitioner inserts the gradient reductions over ICI. The
+        expanded batch ``batch_size * T`` should divide the data-axis size.
         """
         net = self.net
+        from .parallel.mesh import dp_constraint
 
         @functools.partial(jax.jit, static_argnames=("n_train",))
         def run(params, opt_state, extra_vars, key, x_train, n_train: int):
@@ -207,6 +213,8 @@ class Diffusion:
                                       w=self.width, h=self.height)
                     clean = rearrange(c[:, :-1, :], "b t (w h) -> (b t) 1 w h",
                                       w=self.width, h=self.height)
+                    noisy = dp_constraint(noisy, mesh)
+                    clean = dp_constraint(clean, mesh)
                     variables = {"params": params, **extra_vars}
                     mutable = net.mutable_collections
                     out = net.module.apply(variables, noisy, train=True,
@@ -260,6 +268,26 @@ class Diffusion:
         outp = jnp.concatenate([first_x[None], kept], axis=0)
         return rearrange(outp, "iters batch 1 height width -> "
                                "(iters height) (batch width)")
+
+    def sample_stack_fn(self, variables, first_x, n_iters: int, *,
+                        noise_factor: float = 1.0):
+        """Like ``sample_fn`` but returns the raw (iters+1, b, 1, h, w) stack
+        (metric/sweep-friendly; the reference reshapes its grid back to this
+        layout before scoring, src/mnist_exm.py:221-224)."""
+        goal = self.prediction_goal
+        net = self.net
+
+        def body(x, _):
+            pred = net.module.apply(variables, x, train=False, mutable=False)
+            if goal == "data":
+                new_x = pred
+            else:
+                new_x = jnp.clip(x - (pred - 0.5) * 0.1 * noise_factor,
+                                 0.0, 1.0)
+            return new_x, new_x
+
+        _, xs = jax.lax.scan(body, first_x, None, length=n_iters)
+        return jnp.concatenate([first_x[None], xs], axis=0)
 
     # --- torch-like dispatch ------------------------------------------------
     def __call__(self, x=None, key=None, **kwargs):

@@ -129,10 +129,25 @@ def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
         raise ValueError(
             f"{x.shape[-1]} features do not fit in {wires} wires"
         )
+    import jax
+
+    from .sel import _entangled_layers
+
     w = WEIGHT_MAPS[weight_map](weights)
-    u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
     states = amplitude_embed(x, wires, pad_with=pad_with, dtype=cdtype)
-    states = apply_unitary(states, u)
+    if x.shape[0] >= 2**wires:
+        u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
+        states = apply_unitary(states, u)
+    else:
+        # batch < state dim: applying per-layer unitaries to the batch is
+        # O(depth b d^2) vs O(depth d^3) for composition. Ranges cycle over
+        # the full depth (one deep template, not per-block restarts).
+        lus = _entangled_layers(w, imprimitive).astype(cdtype)
+
+        def body(states, u):
+            return apply_unitary(states, u), None
+
+        states, _ = jax.lax.scan(body, states, lus)
     if noise is None or noise.kind == "phase_shift":
         # phase shift is diagonal: probs unchanged — skip it entirely.
         return probs(states)
@@ -167,37 +182,56 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     """
     import jax
 
-    from .sel import sel_unitaries
+    from .sel import sel_layer_unitaries, sel_unitaries
 
     L, k, wires, _ = block_weights.shape
     batch = x_enc.shape[0]
+    dim = 2**wires
     x_enc = _encode_angles(x_enc, encode, noise)
-    # all L spectrum-layer unitaries composed in one batched op (constant
-    # program size in L — compile time matters on TPU)
-    us = sel_unitaries(block_weights, imprimitive=imprimitive).astype(cdtype)
 
     if not _needs_dm(noise):
+        # Strategy: composing each block into one unitary costs O(k d^3);
+        # applying the k per-layer unitaries straight to the state batch
+        # costs O(k b d^2). Compose only when the batch exceeds the state
+        # dimension (constant program size either way — both paths scan).
+        compose = batch >= dim
+        if compose:
+            us = sel_unitaries(block_weights,
+                               imprimitive=imprimitive).astype(cdtype)
+        else:
+            lus = sel_layer_unitaries(block_weights,
+                                      imprimitive=imprimitive).astype(cdtype)
         states = zero_state(batch, wires, dtype=cdtype)
+
+        def encode_states(states):
+            if encode in ("rz", "rz_halfpi"):
+                return states * phases
+            from .statevector import apply_ry_all
+
+            return apply_ry_all(states, x_enc)
+
         if encode in ("rz", "rz_halfpi"):
             phases = rz_phases(x_enc, wires)
 
+        if compose:
             def body(states, u):
-                return apply_unitary(states * phases, u), None
+                return apply_unitary(encode_states(states), u), None
 
-        elif encode == "ry":
-            from .statevector import apply_ry_all
-
-            def body(states, u):
-                return apply_unitary(apply_ry_all(states, x_enc), u), None
-
+            states, _ = jax.lax.scan(body, states, us)
         else:
-            raise ValueError(f"unknown encode {encode!r}")
-        states, _ = jax.lax.scan(body, states, us)
+            def body(states, us_l):  # us_l: (k, d, d)
+                states = encode_states(states)
+                for li in range(k):
+                    states = apply_unitary(states, us_l[li])
+                return states, None
+
+            states, _ = jax.lax.scan(body, states, lus)
         if readout == "probs":
             return probs(states)
         return expval_z(states)
 
     # density-matrix path (damping/depolarizing channels inside the loop)
+    us = sel_unitaries(block_weights, imprimitive=imprimitive).astype(cdtype)
     kraus = _kraus_array(noise, cdtype)
     rho = dm.zero_density(batch, wires, dtype=cdtype)
     phases = rz_phases(x_enc, wires) if encode in ("rz", "rz_halfpi") else None

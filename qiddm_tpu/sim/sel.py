@@ -150,17 +150,16 @@ def sel_unitary(weights, imprimitive: str = "cnot"):
     return acc
 
 
-def sel_unitaries(weights, imprimitive: str = "cz"):
-    """Batched block composition for the re-uploading family.
+def sel_layer_unitaries(weights, imprimitive: str = "cz"):
+    """Per-layer entangled unitaries WITHOUT composition.
 
-    weights: (n_blocks, k, wires, 3) -> (n_blocks, d, d), where each block
-    restarts the range cycle (the reference instantiates a fresh template per
-    spectrum layer). One vmapped composition — program size O(wires + k).
+    weights: (n_blocks, k, wires, 3) -> (n_blocks, k, d, d): each layer's
+    (rotation-kron x ring) unitary, with the range cycle restarting per block
+    (the reference instantiates a fresh template per spectrum layer).
     """
     n_blocks, k, wires, _ = weights.shape
     mats = rot_matrix(weights[..., 0], weights[..., 1], weights[..., 2])
     layer_u = _batched_kron_chain(mats)  # (n_blocks, k, d, d)
-    prec = _config.matmul_precision()
     if wires > 1:
         ranges = sel_ranges(k, wires)
         if imprimitive == "cz":
@@ -173,6 +172,19 @@ def sel_unitaries(weights, imprimitive: str = "cz"):
                 layer_u, jnp.asarray(inv)[None, :, :, None], axis=2)
         else:
             raise ValueError(f"unknown imprimitive {imprimitive!r}")
+    return layer_u
+
+
+def sel_unitaries(weights, imprimitive: str = "cz"):
+    """Batched block composition for the re-uploading family.
+
+    weights: (n_blocks, k, wires, 3) -> (n_blocks, d, d). Composing costs
+    O(k d^3) per block — worth it only when the data batch exceeds d; below
+    that, apply ``sel_layer_unitaries`` to the state batch directly.
+    """
+    n_blocks, k, wires, _ = weights.shape
+    layer_u = sel_layer_unitaries(weights, imprimitive)
+    prec = _config.matmul_precision()
     u = layer_u[:, 0]
     for l in range(1, k):  # k <= 3 in every reference config
         u = jnp.einsum("bij,bjk->bik", layer_u[:, l], u, precision=prec)

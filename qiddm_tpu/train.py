@@ -54,10 +54,11 @@ def train_diffusion(diff, x_train, *, epochs: int, batch_size: int, lr: float,
 
 
 def train_diffusion_scan(diff, x_train, *, epochs: int, batch_size: int,
-                         lr: float, T: int, key=None):
+                         lr: float, T: int, key=None, mesh=None):
     """Fully-compiled variant: ALL epochs inside one scan (benchmark path).
 
     Returns (per-epoch loss array, wall-time seconds excluding compile).
+    With ``mesh``, the compute batch is sharded over the mesh's data axis.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -69,7 +70,8 @@ def train_diffusion_scan(diff, x_train, *, epochs: int, batch_size: int,
     params = diff.net.params
     extra_vars = diff.net.extra_variables
     opt_state = optimizer.init(params)
-    run_j = diff.make_multi_epoch_fn(optimizer, T, batch_size, epochs)
+    run_j = diff.make_multi_epoch_fn(optimizer, T, batch_size, epochs,
+                                     mesh=mesh)
 
     # compile + warm run (fetch to host: on the axon backend
     # block_until_ready does not reliably synchronize)
