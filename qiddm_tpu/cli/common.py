@@ -1,0 +1,381 @@
+"""Shared experiment-driver logic.
+
+Mirrors the near-identical train/test/main loops the reference duplicates
+across its nine driver scripts (diff-verified clones, SURVEY §2.1):
+argparse surface, per-label train -> sample -> score loop, per-model lr
+flags, checkpoint resume, PNG dumps, metric plots. Models and datasets are
+resolved through registries instead of the reference's ``eval`` calls
+(src/mnist_exm.py:374, :424; SURVEY §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import pathlib
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+
+from .. import data as data_mod
+from .. import metrics
+from .. import nn as nn_mod
+from ..ckpt import load_diffusion, save_diffusion
+from ..diffusion import Diffusion
+from ..logging_utils import initial_log  # noqa: F401  (re-export for drivers)
+from ..noise import SCHEDULES, add_normal_noise_multiple
+from ..train import train_diffusion_scan
+
+MODEL_REGISTRY = {
+    name: obj
+    for name in dir(nn_mod)
+    if isinstance(obj := getattr(nn_mod, name), type)
+    and issubclass(obj, nn_mod.DenoiserShim)
+    and obj is not nn_mod.DenoiserShim
+}
+
+DATA_REGISTRY = dict(data_mod.ALL_LOADERS)
+
+# per-model default learning rates (reference src/mnist_exm.py:130-141)
+DEFAULT_LRS = {
+    "UNetUndirected": 0.01,
+    "differN_noise": 0.00914,
+    "QDenseUndirected_old_noise": 0.00211,
+    "QIDDM_LL_noise": 0.0255,
+    "QIDDM_PL_noise": 0.01116,
+    "QNN_noise": 0.01011,
+}
+FALLBACK_LR = 0.01
+
+
+def build_parser(description: str, *, default_models, default_data: str,
+                 default_img_size: int, default_label: int = 0,
+                 default_ds_size: int = 500, default_epochs: int = 50,
+                 default_batch_size: int = 1, default_tau: int = 10,
+                 with_noise_intensity: bool = False,
+                 default_save_path: str = "results/run/",
+                 default_load_path: str = "results/run/"):
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--model", type=str, default=None, nargs="+",
+                   action="append",
+                   help="Model name and parameters (repeatable); models: "
+                        + ", ".join(sorted(MODEL_REGISTRY)))
+    p.add_argument("--data", type=str, default=default_data,
+                   help="Dataset: " + ", ".join(sorted(DATA_REGISTRY)))
+    p.add_argument("--img_size", type=int, default=default_img_size)
+    p.add_argument("--label", type=int, default=default_label,
+                   help="Label used for training.")
+    p.add_argument("--add_noise", type=int, default=0,
+                   help="Hardware-noise channel type (1-3; 4 = rotation "
+                        "angle error).")
+    if with_noise_intensity:
+        p.add_argument("--noise_intensity", type=float, default=0.02,
+                       help="Channel strength for the noise sweep (0-1).")
+    p.add_argument("--reduced_size", type=float, default=1.0)
+    p.add_argument("--load-path", type=str, default=default_load_path)
+    p.add_argument("--save-path", type=str, default=default_save_path)
+    p.add_argument("--n_classes", type=int, default=10)
+    p.add_argument("--target", type=str, default="data",
+                   help="Generate noise or data.")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--device", type=str, default="tpu",
+                   choices=["cpu", "cuda", "tpu"],
+                   help="Accepted for reference-CLI parity; JAX picks the "
+                        "available backend.")
+    p.add_argument("--tau", type=int, default=default_tau)
+    p.add_argument("--ds-size", type=int, default=default_ds_size,
+                   help="Dataset size. 80%% is used for training.")
+    for name, lr in DEFAULT_LRS.items():
+        p.add_argument(f"--{name}_lr", type=float, default=lr)
+    p.add_argument("--lr", type=float, default=None,
+                   help="Override learning rate for all models.")
+    p.add_argument("--epochs", type=int, default=default_epochs)
+    p.add_argument("--batch_size", type=int, default=default_batch_size)
+
+    orig_parse = p.parse_args
+
+    def parse_args(argv=None, namespace=None):
+        args = orig_parse(argv, namespace)
+        args.model = ([list(m) for m in args.model] if args.model
+                      else [list(m) for m in default_models])
+        return args
+
+    p.parse_args = parse_args
+    return p
+
+
+def validate_args(args) -> None:
+    """Fail fast on unknown model/dataset names (before any device work)."""
+    for m in args.model:
+        if m[0] not in MODEL_REGISTRY:
+            raise SystemExit(f"unknown model {m[0]!r}; available: "
+                             + ", ".join(sorted(MODEL_REGISTRY)))
+    if args.data not in DATA_REGISTRY:
+        raise SystemExit(f"unknown dataset {args.data!r}; available: "
+                         + ", ".join(sorted(DATA_REGISTRY)))
+
+
+def model_lr(args, model_name: str) -> float:
+    if getattr(args, "lr", None):
+        return args.lr
+    return getattr(args, f"{model_name}_lr", FALLBACK_LR)
+
+
+def build_model(model_args: Sequence, seed: int = 0):
+    """Instantiate a registered model from a ['Name', arg, ...] list
+    (the reference evals ``nn.<name>(*params)``, src/mnist_exm.py:419-424)."""
+    name = model_args[0]
+    if name not in MODEL_REGISTRY:
+        raise SystemExit(f"unknown model {name!r}; available: "
+                         + ", ".join(sorted(MODEL_REGISTRY)))
+    params = [int(a) if isinstance(a, str) and a.isdigit() else a
+              for a in model_args[1:]]
+    return MODEL_REGISTRY[name](*params, seed=seed)
+
+
+def load_dataset(args):
+    loader = DATA_REGISTRY.get(args.data)
+    if loader is None:
+        raise SystemExit(f"unknown dataset {args.data!r}")
+    x, y, h, w = loader(n_classes=args.n_classes, ds_size=args.ds_size)
+    return np.asarray(x), np.asarray(y), h, w
+
+
+def augment_rotation(x_train, y_train, height, width, target_size: int,
+                     seed: int = 0):
+    """Random +-15 degree rotations until ``target_size`` samples
+    (reference src/bloodmnist.py:335-342, :413-460)."""
+    from scipy.ndimage import rotate
+
+    n = len(x_train)
+    if n >= target_size or n == 0:
+        return x_train, y_train
+    rng = np.random.default_rng(seed)
+    extra_x, extra_y = [], []
+    for _ in range(target_size - n):
+        i = int(rng.integers(0, n))
+        img = x_train[i].reshape(height, width)
+        ang = float(rng.uniform(-15, 15))
+        rot = rotate(img, ang, reshape=False, order=1, mode="constant")
+        extra_x.append(np.clip(rot, 0.0, 1.0).reshape(-1))
+        extra_y.append(y_train[i])
+    return (np.concatenate([x_train, np.stack(extra_x)]),
+            np.concatenate([y_train, np.asarray(extra_y)]))
+
+
+def with_noise(net, add_noise: int, noise_intensity: Optional[float] = None):
+    """Return a shim sharing ``net``'s trained variables but with hardware
+    noise injected into the circuit — the functional replacement for the
+    reference's test-time device swap to ``default.mixed``
+    (src/mnist_noise.py:210-230)."""
+    fields = {f.name for f in dataclasses.fields(net.module)}
+    if "add_noise" not in fields:
+        return net
+    kw = {"add_noise": add_noise}
+    if "noise_intensity" in fields:
+        kw["noise_intensity"] = noise_intensity
+    new_module = dataclasses.replace(net.module, **kw)
+    clone = object.__new__(type(net))
+    clone.__dict__.update(net.__dict__)
+    clone.module = new_module
+    if hasattr(clone, "_apply_cache"):
+        del clone.__dict__["_apply_cache"]
+    return clone
+
+
+def make_first_x(args, n: int = 10):
+    key = jax.random.PRNGKey(args.seed + 1)
+    return jax.random.uniform(
+        key, (n, 1, args.img_size, args.img_size)) * 0.75 + 0.5
+
+
+def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
+    """Reference train() (src/mnist_exm.py:148-203): Adam, remaining epochs,
+    checkpoint at <save_path>/<save_name>_<label>.pt."""
+    print("Training model")
+    remaining = args.epochs - start_epoch
+    if remaining > 0:
+        losses, wall = train_diffusion_scan(
+            diff, x_train, epochs=remaining, batch_size=args.batch_size,
+            lr=args.lr, T=args.tau, key=jax.random.PRNGKey(args.seed))
+        loss_values = list(loss_values) + [float(v) for v in losses]
+        print(f"trained {remaining} epochs in {wall:.3f}s "
+              f"({len(x_train) * remaining / max(wall, 1e-9):.0f} images/s)")
+    save_diffusion(diff, args.save_path, args.label, loss_values, args.epochs)
+    return loss_values
+
+
+def test(diff, args, x_train, x_test, first_x, tau_test: int = 15,
+         save_images: bool = True):
+    """Reference test() (src/mnist_exm.py:206-291): sample, rescale, per-step
+    renormalize, dump PNGs, return (generated (iters,b,1,h,w), real)."""
+    print("Testing model")
+    s = args.img_size
+    outp = diff.eval().sample(first_x=first_x, n_iters=tau_test,
+                              only_last=False)
+    outp = jnp.clip(outp, 0.0, 1.0) * 255.0
+    outp = np.asarray(jnp.clip(outp, 0.0, 255.0))
+
+    generated = rearrange(
+        outp, "(iters height) (batch width) -> iters batch 1 height width",
+        iters=tau_test + 1, height=s, width=s)
+
+    real = np.asarray(x_test).reshape(-1, 1, s, s)
+    rmin = real.reshape(len(real), -1).min(1)[:, None, None, None]
+    rmax = real.reshape(len(real), -1).max(1)[:, None, None, None]
+    real = (real - rmin) / (rmax - rmin + 1e-7)
+
+    gen = generated.copy()
+    for step in range(gen.shape[0]):
+        g = gen[step]
+        gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
+        gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
+        gen[step] = (g - gmin) / (gmax - gmin + 1e-7)
+
+    if save_images and args.save_path:
+        _dump_images(args, x_train, gen, outp, diff)
+    return gen, real
+
+
+def _dump_images(args, x_train, generated, grid, diff):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    s = args.img_size
+    base = pathlib.Path(args.save_path)
+    img0 = base / "image_0"
+    img0.mkdir(parents=True, exist_ok=True)
+    for i in range(min(len(x_train), 100)):
+        plt.imsave(img0 / f"train_image_{i + 1}.png",
+                   np.asarray(x_train[i]).reshape(s, s), cmap="gray")
+    for i in range(generated.shape[1]):
+        folder = base / f"image_{i + 1}"
+        folder.mkdir(parents=True, exist_ok=True)
+        for j in range(generated.shape[0]):
+            plt.imsave(folder / f"step_{j + 1}.png", generated[j, i, 0],
+                       cmap="gray")
+    plt.imshow(grid, cmap="gray")
+    plt.axis("off")
+    plt.savefig(base / f"{diff.save_name()}_{args.label}.png")
+    plt.close()
+
+
+def save_outp(diff, args, outp, noise_intensity):
+    sp = (pathlib.Path(args.save_path)
+          / f"{diff.save_name()}_outp_{noise_intensity}.pt")
+    sp.parent.mkdir(parents=True, exist_ok=True)
+    with open(sp, "wb") as f:
+        pickle.dump(np.asarray(outp), f)
+
+
+def load_outp(diff, load_path, noise_intensity):
+    """Sampler-output cache (reference src/mnist_noise.py:285-308)."""
+    lp = (pathlib.Path(load_path)
+          / f"{diff.save_name()}_outp_{noise_intensity}.pt")
+    print(lp)
+    try:
+        with open(lp, "rb") as f:
+            out = pickle.load(f)
+        print("outp loaded successfully.\n")
+        return out
+    except FileNotFoundError:
+        print("Failed to load outp: File not found.\n")
+        return None
+
+
+def run_labels(args, labels, *, augment_to: Optional[int] = None,
+               add_noise_range=range(0, 1), tau_test: int = 15):
+    """The reference drivers' main loop (src/mnist_exm.py:334-503): per
+    label, load data, split, per model: build -> resume -> train -> test ->
+    metrics; plot loss/SSIM/PSNR/cosine curves."""
+    validate_args(args)
+    original_save, original_load = args.save_path, args.load_path
+    all_scores: Dict[str, Dict[str, list]] = {
+        m[0]: {"ssim": [], "psnr": [], "cos": []} for m in args.model}
+
+    for label in labels:
+        args.label = label
+        print(args)
+        args.save_path = original_save + str(label) + "/noise_"
+        args.load_path = original_load + str(label) + "/noise_"
+        noise_save_path, noise_load_path = args.save_path, args.load_path
+
+        x_all, y_all, height, width = load_dataset(args)
+        mask = y_all == label
+        x_lab = x_all[mask]
+        y_lab = y_all[mask]
+        x_lab = x_lab[: int(len(x_lab) * args.reduced_size)]
+        y_lab = y_lab[: len(x_lab)]
+        print(f"description of dataset: len of x_train: {x_lab.shape}\n")
+
+        cutoff = int(len(x_lab) * 0.8)
+        x_train, x_test = x_lab[:cutoff], x_lab[cutoff:]
+        y_train = y_lab[:cutoff]
+        if augment_to:
+            x_train, y_train = augment_rotation(
+                x_train, y_train, height, width, augment_to, args.seed)
+            print(f"After augmentation, x_train shape: {x_train.shape}")
+        first_x = make_first_x(args)
+
+        if args.batch_size > len(x_train):
+            print(f"Warning: batch size ({args.batch_size}) is bigger than "
+                  f"the data size ({len(x_train)}). Setting batch size to "
+                  f"data size.")
+            args.batch_size = max(len(x_train), 1)
+
+        for add_noise in add_noise_range:
+            print(f"Test for add_noise:{add_noise}")
+            args.save_path = noise_save_path + str(add_noise)
+            args.load_path = noise_load_path + str(add_noise)
+            generated_dict, real_dict, loss_dict = {}, {}, {}
+            model_name = model_params = None
+
+            for model_args in args.model:
+                model_name = model_args[0]
+                model_params = model_args[1:]
+                net = build_model(model_args, seed=args.seed)
+                args.lr_current = args.lr = model_lr(args, model_name)
+                print(f"Initialized {model_name} with parameters "
+                      f"{model_params}, with {args.lr}")
+                diff = Diffusion(
+                    net=net, noise_f=add_normal_noise_multiple,
+                    prediction_goal=args.target, shape=(height, width))
+                print("parameters:%d\n" % net.num_params())
+
+                loss_values, start_epoch = load_diffusion(
+                    diff, args.load_path, label)
+                print(f"epoch start from {start_epoch}, "
+                      f"left {args.epochs - start_epoch}")
+                loss_values = train(diff, args, x_train, start_epoch,
+                                    loss_values)
+                loss_dict[model_name] = loss_values
+
+                generated, real = test(diff, args, x_train, x_test, first_x,
+                                       tau_test=tau_test)
+                generated_dict[diff.save_name()] = generated
+                real_dict[diff.save_name()] = real
+
+            metrics.show_metrics(loss_dict, "LOSS", args,
+                                 model_name=model_name,
+                                 model_params=model_params, is_loss=True)
+            ssim_d = metrics.get_ssim(generated_dict, real_dict, args,
+                                      gen_img_count=5, real_img_count=80)
+            psnr_d = metrics.get_psnr(generated_dict, real_dict, args,
+                                      gen_img_count=5, real_img_count=80)
+            cos_d = metrics.get_cosine_similarity(
+                generated_dict, real_dict, args, gen_img_count=5,
+                real_img_count=80)
+            print("Last SSIM values:", ssim_d)
+            print("Last PSNR values:", psnr_d)
+            print("Last Cosine Similarity values:", cos_d)
+            for m, dname in zip(all_scores, ssim_d):
+                all_scores[m]["ssim"].append(ssim_d[dname][-1])
+                all_scores[m]["psnr"].append(psnr_d[dname][-1])
+                all_scores[m]["cos"].append(cos_d[dname][-1])
+    args.save_path, args.load_path = original_save, original_load
+    return all_scores

@@ -1,0 +1,37 @@
+"""FashionMNIST hardware-noise robustness driver (reference
+src/fashion_noise.py): intensities [0.1, 0.2, 0.3, 0.5, 0.8]
+(reference :431-433)."""
+
+from __future__ import annotations
+
+import sys
+
+from . import common, noise_common
+
+DEFAULT_MODELS = [
+    ["QIDDM_LL_noise", "784", "6", "14", "2"],
+]
+
+
+def parse_args(argv):
+    p = common.build_parser(
+        "QDDM noise robustness (FashionMNIST)",
+        default_models=DEFAULT_MODELS, default_data="fashion_28x28",
+        default_img_size=28, default_label=3, default_ds_size=500,
+        default_epochs=50, default_batch_size=1, default_tau=10,
+        with_noise_intensity=True,
+        default_save_path="results/noise/fashion_",
+        default_load_path="results/noise/fashion_")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    common.initial_log()
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+    intensities = [0.1, 0.2, 0.3, 0.5, 0.8]
+    return noise_common.run_noise_sweep(
+        args, noise_types=range(1, 4), intensities=intensities)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Shared logic for the hardware-noise robustness drivers.
+
+Reference: src/mnist_noise.py / src/fashion_noise.py — train each model
+CLEAN (add_noise=0), then at test time inject each channel type at a sweep of
+intensities by swapping the circuit to a density-matrix simulation
+(src/mnist_noise.py:210-230, :432-444), caching sampler outputs per
+intensity (:285-308) and plotting metric-vs-intensity curves (:537-540).
+
+Here the "device swap" is a functional module replacement (``with_noise``):
+same trained variables, new circuit config — the density-matrix backend
+engages automatically for non-unitary channels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import metrics
+from ..ckpt import load_diffusion
+from ..diffusion import Diffusion
+from ..noise import add_normal_noise_multiple
+from . import common
+
+NOISE_TYPE_LABELS = {
+    1: "Phase Damping intensity",
+    2: "Amplitude Damping intensity",
+    3: "Depolarizing intensity",
+    4: "Rotation Angle error intensity",
+}
+
+
+def run_noise_sweep(args, *, noise_types, intensities, tau_test=None):
+    """Train clean once per model, then sweep (noise type x intensity) at
+    test time; returns {model: {type: {metric: [per-intensity]}}}."""
+    if tau_test is None:
+        tau_test = args.tau * 2
+    common.validate_args(args)
+    original_save, original_load = args.save_path, args.load_path
+    label = args.label
+    args.save_path = original_save + str(label) + "/noise_"
+    args.load_path = original_load + str(label) + "/noise_"
+    noise_save_path, noise_load_path = args.save_path, args.load_path
+    args.save_path = noise_save_path + "0"
+    args.load_path = noise_load_path + "0"
+
+    x_all, y_all, height, width = common.load_dataset(args)
+    x_lab = x_all[y_all == label]
+    x_lab = x_lab[: int(len(x_lab) * args.reduced_size)]
+    cutoff = int(len(x_lab) * 0.8)
+    x_train, x_test = x_lab[:cutoff], x_lab[cutoff:]
+    first_x = common.make_first_x(args)
+    if args.batch_size > len(x_train):
+        args.batch_size = max(len(x_train), 1)
+
+    # --- train clean ------------------------------------------------------
+    trained = {}
+    for model_args in args.model:
+        model_name = model_args[0]
+        net = common.build_model(model_args, seed=args.seed)
+        args.lr = common.model_lr(args, model_name)
+        diff = Diffusion(net=net, noise_f=add_normal_noise_multiple,
+                         prediction_goal=args.target, shape=(height, width))
+        loss_values, start_epoch = load_diffusion(diff, args.load_path, label)
+        loss_values = common.train(diff, args, x_train, start_epoch,
+                                   loss_values)
+        trained[model_name] = (diff, loss_values)
+
+    # --- noisy test sweep -------------------------------------------------
+    results = {m[0]: {} for m in args.model}
+    for add_noise in noise_types:
+        for model_name in results:
+            results[model_name][add_noise] = {
+                "ssim": [], "psnr": [], "cos": [], "fid": []}
+        for intensity in intensities:
+            print(f"\nTest for add_noise: {add_noise}, intensity {intensity}")
+            args.save_path = noise_save_path + str(add_noise)
+            generated_dict, real_dict = {}, {}
+            for model_args in args.model:
+                model_name = model_args[0]
+                diff_clean, _ = trained[model_name]
+                noisy_net = common.with_noise(diff_clean.net, add_noise,
+                                              intensity)
+                diff = Diffusion(net=noisy_net,
+                                 noise_f=add_normal_noise_multiple,
+                                 prediction_goal=args.target,
+                                 shape=(height, width))
+                cached = common.load_outp(diff, args.load_path, intensity)
+                if cached is not None:
+                    import jax.numpy as jnp
+                    outp = jnp.asarray(cached)
+                    generated, real = _postprocess(outp, args, x_test,
+                                                   tau_test)
+                else:
+                    generated, real = common.test(
+                        diff, args, x_train, x_test, first_x,
+                        tau_test=tau_test, save_images=False)
+                    grid = diff.eval().sample(first_x=first_x,
+                                              n_iters=tau_test)
+                    common.save_outp(diff, args, grid, intensity)
+                key = f"{diff.save_name()}_{add_noise}_{intensity}"
+                generated_dict[key] = generated
+                real_dict[key] = real
+
+                r = results[model_name][add_noise]
+                r["ssim"].append(float(metrics.ssim_iterations(
+                    generated, real, 5, 80)[-1]))
+                r["psnr"].append(float(metrics.psnr_iterations(
+                    generated, real, 5, 80)[-1]))
+                r["cos"].append(float(metrics.cosine_iterations(
+                    generated, real, 5, 80)[-1]))
+                r["fid"].append(float(metrics.fid_iterations(
+                    generated, real, 5, 80)[-1]))
+
+        # metric-vs-intensity plots (reference src/mnist_noise.py:537-540)
+        xlabel = NOISE_TYPE_LABELS.get(add_noise, "noise intensity")
+        for metric_name in ("ssim", "psnr", "cos", "fid"):
+            curve_dict = {m: results[m][add_noise][metric_name]
+                          for m in results}
+            metrics.show_metrics(curve_dict, metric_name.upper(), args,
+                                 model_name=f"noise{add_noise}",
+                                 model_params=[metric_name],
+                                 xlabel=xlabel)
+    args.save_path, args.load_path = original_save, original_load
+    return results
+
+
+def _postprocess(outp, args, x_test, tau_test):
+    import jax.numpy as jnp
+    from einops import rearrange
+
+    s = args.img_size
+    outp = jnp.clip(outp, 0.0, 1.0) * 255.0
+    outp = np.asarray(jnp.clip(outp, 0.0, 255.0))
+    generated = rearrange(
+        outp, "(iters height) (batch width) -> iters batch 1 height width",
+        iters=tau_test + 1, height=s, width=s)
+    real = np.asarray(x_test).reshape(-1, 1, s, s)
+    rmin = real.reshape(len(real), -1).min(1)[:, None, None, None]
+    rmax = real.reshape(len(real), -1).max(1)[:, None, None, None]
+    real = (real - rmin) / (rmax - rmin + 1e-7)
+    gen = generated.copy()
+    for step in range(gen.shape[0]):
+        g = gen[step]
+        gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
+        gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
+        gen[step] = (g - gmin) / (gmax - gmin + 1e-7)
+    return gen, real
