@@ -65,3 +65,25 @@ def _get_label_embedding_2(labels, width: int, height: int):
 
 
 get_label_embedding = _get_label_embedding_1
+
+
+# --- QASM bridge (reference nn/utils.py:77-129 keeps these here) -----------
+
+def circuit_to_qasm(weights, wires, inp):
+    from ..sim import qasm
+
+    return qasm.circuit_to_qasm(weights, wires, inp)
+
+
+def repeat_qasm(qasm_str, wires, ancilla, reps):
+    from ..sim import qasm
+
+    return qasm.repeat_qasm(qasm_str, wires, ancilla, reps)
+
+
+def sample_from_qiskit(qasm_str, backend="statevector_simulator", shots=None):
+    """Name kept for parity with reference nn/utils.py:114; executes on the
+    framework's native engine instead of qiskit-aer."""
+    from ..sim import qasm
+
+    return qasm.sample_from_qasm(qasm_str, shots=shots)
