@@ -158,21 +158,26 @@ def sel_layer_unitaries(weights, imprimitive: str = "cz"):
     (the reference instantiates a fresh template per spectrum layer).
     """
     n_blocks, k, wires, _ = weights.shape
-    mats = rot_matrix(weights[..., 0], weights[..., 1], weights[..., 2])
-    layer_u = _batched_kron_chain(mats)  # (n_blocks, k, d, d)
+    dim = 2**wires
+    # flatten (n_blocks, k) -> one batch axis: 4-D (n, k, d, d) intermediates
+    # backward ~6x slower on TPU than 3-D (copies on the extra axis)
+    flat = weights.reshape(n_blocks * k, wires, 3)
+    mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+    layer_u = _batched_kron_chain(mats)  # (n_blocks*k, d, d)
     if wires > 1:
         ranges = sel_ranges(k, wires)
         if imprimitive == "cz":
             signs = np.stack([cz_ring_signs(wires, r) for r in ranges])
-            layer_u = jnp.asarray(signs[None, :, :, None],
-                                  layer_u.dtype) * layer_u
+            signs = np.tile(signs, (n_blocks, 1))  # (n_blocks*k, d)
+            layer_u = jnp.asarray(signs[:, :, None], layer_u.dtype) * layer_u
         elif imprimitive == "cnot":
             inv = np.stack([cnot_ring_perm(wires, r) for r in ranges])
+            inv = np.tile(inv, (n_blocks, 1))
             layer_u = jnp.take_along_axis(
-                layer_u, jnp.asarray(inv)[None, :, :, None], axis=2)
+                layer_u, jnp.asarray(inv)[:, :, None], axis=1)
         else:
             raise ValueError(f"unknown imprimitive {imprimitive!r}")
-    return layer_u
+    return layer_u.reshape(n_blocks, k, dim, dim)
 
 
 def sel_unitaries(weights, imprimitive: str = "cz"):
