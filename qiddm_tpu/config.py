@@ -48,3 +48,17 @@ def set_matmul_precision(p: str) -> None:
 
 def matmul_precision() -> str:
     return _MATMUL_PRECISION
+
+
+# Fused Pallas kernels for the re-uploading chain (TPU only). Disable to
+# force the pure-XLA path (e.g. for A/B benchmarking).
+_USE_PALLAS = True
+
+
+def set_use_pallas(on: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = on
+
+
+def use_pallas() -> bool:
+    return _USE_PALLAS

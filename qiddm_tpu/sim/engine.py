@@ -219,13 +219,26 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
 
             states, _ = jax.lax.scan(body, states, us)
         else:
-            def body(states, us_l):  # us_l: (k, d, d)
-                states = encode_states(states)
-                for li in range(k):
-                    states = apply_unitary(states, us_l[li])
-                return states, None
+            from .. import config as _config
 
-            states, _ = jax.lax.scan(body, states, lus)
+            use_pallas = (
+                _config.use_pallas()
+                and encode in ("rz", "rz_halfpi")
+                and dim <= 256
+                and jax.default_backend() == "tpu"
+            )
+            if use_pallas:
+                from .pallas_kernels import reupload_chain_pallas
+
+                states = reupload_chain_pallas(phases, lus, k).astype(cdtype)
+            else:
+                def body(states, us_l):  # us_l: (k, d, d)
+                    states = encode_states(states)
+                    for li in range(k):
+                        states = apply_unitary(states, us_l[li])
+                    return states, None
+
+                states, _ = jax.lax.scan(body, states, lus)
         if readout == "probs":
             return probs(states)
         return expval_z(states)
