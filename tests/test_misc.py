@@ -1,0 +1,100 @@
+"""x64 parity mode, UNet/BatchNorm training path, checkpoint roundtrip,
+logger reconstruction."""
+
+import pathlib
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+from qiddm_tpu import data, nn
+from qiddm_tpu.ckpt import load_diffusion, save_diffusion
+from qiddm_tpu.diffusion import Diffusion
+from qiddm_tpu.train import train_diffusion
+
+
+def test_x64_parity_mode_subprocess():
+    """enable_x64 gives complex128 statevectors and 1e-12 normalization
+    (run in a subprocess: the flag must be set before JAX array creation)."""
+    code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, %r)
+from qiddm_tpu import config
+config.enable_x64()
+import jax.numpy as jnp, numpy as np
+from qiddm_tpu import sim
+x = jnp.asarray(np.random.default_rng(0).uniform(size=(4, 60)), jnp.float64)
+w = jnp.asarray(np.random.default_rng(1).normal(size=(3, 6, 3)) * 0.4)
+p = sim.qdense_circuit(x, w, wires=6, cdtype=jnp.complex128)
+assert p.dtype == jnp.float64, p.dtype
+err = float(jnp.abs(p.sum(1) - 1.0).max())
+assert err < 1e-12, err
+print("X64_OK", err)
+"""
+    repo = str(pathlib.Path(__file__).parent.parent)
+    out = subprocess.run([sys.executable, "-c", code % repo],
+                         capture_output=True, text=True, timeout=300)
+    assert "X64_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_unet_diffusion_training_with_batchstats():
+    """Classical UNet (the reference's U-net baseline) through the full
+    jitted training scan — exercises mutable batch_stats threading."""
+    x, y, h, w = data.mnist_8x8(ds_size=200)
+    x = x[y == 4]
+    net = nn.UNetUndirected(2, 4, 0, img_shape=(8, 8))
+    assert net.mutable_collections == ["batch_stats"]
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w))
+    before = jax.tree_util.tree_leaves(net.extra_variables["batch_stats"])
+    losses = train_diffusion(diff, x, epochs=3, batch_size=8, lr=0.01, T=3,
+                             key=jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    after = jax.tree_util.tree_leaves(
+        diff.net.extra_variables["batch_stats"])
+    # running stats must have moved
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(before, after))
+    assert moved, "batch_stats did not update during training"
+    out = diff.eval().sample(n_iters=3, only_last=True,
+                             key=jax.random.PRNGKey(1))
+    assert out.shape == (10, 1, 8, 8)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    x, y, h, w = data.mnist_8x8(ds_size=150)
+    x = x[y == 4]
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w))
+    losses = train_diffusion(diff, x, epochs=2, batch_size=8, lr=0.02, T=3)
+    save_diffusion(diff, tmp_path, 4, losses, 2)
+
+    net2 = nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=99)
+    diff2 = Diffusion(net=net2, prediction_goal="data", shape=(h, w))
+    lv, ep = load_diffusion(diff2, str(tmp_path), 4)
+    assert ep == 2 and len(lv) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(diff.net.params),
+                    jax.tree_util.tree_leaves(diff2.net.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # identical samples after restore
+    fx = jax.random.uniform(jax.random.PRNGKey(5), (4, 1, 8, 8))
+    s1 = np.asarray(diff.eval().sample(n_iters=2, first_x=fx))
+    s2 = np.asarray(diff2.eval().sample(n_iters=2, first_x=fx))
+    np.testing.assert_allclose(s1, s2, atol=1e-7)
+    # missing checkpoint degrades to fresh start
+    lv3, ep3 = load_diffusion(diff2, str(tmp_path / "nope"), 4)
+    assert lv3 == [] and ep3 == 0
+
+
+def test_logger_tee(tmp_path, capsys):
+    from qiddm_tpu.logging_utils import Logger
+
+    logfile = tmp_path / "log.txt"
+    lg = Logger(str(logfile))
+    lg.write("hello tee\n")
+    lg.flush()
+    assert "hello tee" in logfile.read_text()
