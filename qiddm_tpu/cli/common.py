@@ -378,4 +378,9 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
                 all_scores[m]["psnr"].append(psnr_d[dname][-1])
                 all_scores[m]["cos"].append(cos_d[dname][-1])
     args.save_path, args.load_path = original_save, original_load
+    # cross-label comparison histograms (reference src/mnist_exm.py:498-502)
+    if len(list(labels)) > 1 and args.save_path:
+        for metric_name in ("ssim", "psnr", "cos"):
+            score_dict = {m: all_scores[m][metric_name] for m in all_scores}
+            metrics.show_histogram(score_dict, metric_name.upper(), args)
     return all_scores
