@@ -309,6 +309,32 @@ def show_metrics(values_dict, name, args, model_name=None, model_params=None,
     plt.close()
 
 
+def show_images(images, num_images=5, img_size=(8, 8), save_path=None):
+    """Row of grayscale images (reference src/metrics.py:358-372)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    num = min(num_images, len(images))
+    fig, axes = plt.subplots(1, num, figsize=(15, 3))
+    if num == 1:
+        axes = [axes]
+    for i in range(num):
+        axes[i].imshow(np.asarray(images[i]).reshape(img_size), cmap="gray")
+        axes[i].axis("off")
+    if save_path:
+        plt.savefig(save_path)
+    plt.close(fig)
+
+
+def print_image_count(folder, label):
+    """Reference src/metrics.py:157-159."""
+    import glob
+
+    images = glob.glob(f"{folder}/*.png")
+    print(f"{label}: {len(images)} images")
+
+
 def show_histogram(score_dict, metric, args, model_name=None,
                    model_params=None, filename=None):
     """Grouped bar chart across labels (reference src/metrics.py:62-101)."""

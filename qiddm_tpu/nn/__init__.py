@@ -44,7 +44,7 @@ from .conv import (  # noqa: F401
     DeepConvDirectedSingle,
     DeepConvUndirected,
 )
-from .qconv import QConv2d  # noqa: F401
+from .qconv import QConv2d, QConv2dMedium, QConv2dSlow  # noqa: F401
 from .shim import DenoiserShim  # noqa: F401
 from .unet import (  # noqa: F401
     UnetDirected,

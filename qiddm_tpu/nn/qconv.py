@@ -103,3 +103,103 @@ class QConv2d(nn.Module):
         return (f"QConv2d({self.in_channels}, {self.out_channels}, "
                 f"kernel_size={self.kernel_size}, padding={self.padding}, "
                 f"wires={self.wires})")
+
+
+def _prep_unitary(vecs):
+    """State-preparation unitaries: U|0..0> = v for each row of ``vecs``.
+
+    Householder completion: U = I - 2 w w^dagger with w ∝ (e0 - v). The
+    reference uses MottonenStatePreparation here (nn/qconv.py:184, :266);
+    on mid-circuit states the two differ by a unitary fixing |0..0> — see
+    COMPAT.md. vecs: (b, d) normalized real/complex -> (b, d, d).
+    """
+    b, d = vecs.shape
+    e0 = jnp.zeros((b, d), vecs.dtype).at[:, 0].set(1.0)
+    # phase-align so that <e0, v> is real (Householder then maps e0 -> v)
+    phase = jnp.where(jnp.abs(vecs[:, :1]) > 1e-9,
+                      vecs[:, :1] / jnp.maximum(jnp.abs(vecs[:, :1]), 1e-12),
+                      jnp.ones((b, 1), vecs.dtype))
+    v = vecs * jnp.conj(phase)
+    w = e0 - v
+    nrm = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2, axis=1, keepdims=True))
+    w = w / jnp.maximum(nrm, 1e-12)
+    eye = jnp.eye(d, dtype=vecs.dtype)[None]
+    house = eye - 2.0 * w[:, :, None] * jnp.conj(w)[:, None, :]
+    return phase[:, :, None] * house
+
+
+class QConv2dMedium(nn.Module):
+    """Per-in-channel chained state preparations + per-channel SEL.
+
+    Reference ``_QConv2d_MEDIUM`` (nn/qconv.py:129-216): pad input with the
+    0.01 constant, unfold k x k patches per channel, L2-normalize, then for
+    every in-channel: state-prepare that channel's patch and apply that
+    channel's SEL — all chained on the SAME wires — and read probabilities.
+    ``_QConv2d_SLOW`` (nn/qconv.py:219-304) computes the identical circuit
+    per patch in a Python loop; both map onto this batched module
+    (``QConv2dSlow`` is an alias).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: Tuple[int, int] = (1, 1)
+    qdepth: int = 2
+
+    @property
+    def wires(self) -> int:
+        kh, kw = self.kernel_size
+        return max(math.ceil(math.log2(kh * kw)),
+                   math.ceil(math.log2(self.out_channels)), 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, c, h_in, w_in = x.shape
+        assert c == self.in_channels
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        h_out = h_in + 2 * ph - kh + 1
+        w_out = w_in + 2 * pw - kw + 1
+        wires = self.wires
+        dim = 2**wires
+
+        weights = self.param(
+            "qweights",
+            lambda key, shape: jax.random.uniform(key, shape),
+            (self.in_channels, self.qdepth, wires, 3))
+
+        # constant-pad 0.01 (reference nn/qconv.py:160-162), then patches
+        xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)),
+                     constant_values=0.01)
+        patches = jax.lax.conv_general_dilated_patches(
+            xp, (kh, kw), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        # (b, c*kh*kw, h_out*w_out) -> (b*positions, c, k*k)
+        feats = patches.reshape(b, c, kh * kw, h_out * w_out)
+        feats = jnp.transpose(feats, (0, 3, 1, 2)).reshape(-1, c, kh * kw)
+        if kh * kw < dim:
+            feats = jnp.pad(feats, ((0, 0), (0, 0), (0, dim - kh * kw)),
+                            constant_values=0.01)
+        nrm = jnp.sqrt(jnp.sum(feats * feats, axis=-1, keepdims=True))
+        feats = feats / jnp.maximum(nrm, 1e-12)
+
+        from ..sim.sel import sel_unitary
+        from ..sim.statevector import probs, zero_state
+
+        states = zero_state(feats.shape[0], wires)
+        for ic in range(self.in_channels):
+            prep = _prep_unitary(feats[:, ic].astype(states.dtype))
+            states = jnp.einsum("bij,bj->bi", prep, states)
+            u = sel_unitary(weights[ic], imprimitive="cnot").astype(
+                states.dtype)
+            states = states @ u.T
+        q = probs(states)
+        q = jnp.clip(q * q.shape[-1] * 0.5, 0.0, 1.0)
+        q = q[:, : self.out_channels]
+        if q.shape[-1] < self.out_channels:
+            q = jnp.pad(q, ((0, 0), (0, self.out_channels - q.shape[-1])))
+        return jnp.transpose(
+            q.reshape(b, h_out, w_out, self.out_channels), (0, 3, 1, 2))
+
+
+QConv2dSlow = QConv2dMedium  # identical circuit, reference loops per patch

@@ -108,3 +108,23 @@ def test_autopad_autocrop():
     assert float(b2[0, 0, 0, 0]) == 0.0  # padded corner
     a3, b3 = autocrop(b, a)
     assert b3.shape == (1, 1, 6, 6)
+
+
+def test_qconv_medium_shapes_and_prep_unitarity():
+    import jax.numpy as jnp
+    from qiddm_tpu.nn.qconv import QConv2dMedium, QConv2dSlow, _prep_unitary
+
+    assert QConv2dSlow is QConv2dMedium
+    m = QConv2dMedium(in_channels=2, out_channels=4, qdepth=2)
+    x = _img(b=2, c=2, s=6)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (2, 4, 6, 6)
+    assert np.all(np.isfinite(np.asarray(y)))
+    # state-prep unitaries: unitary, and U|0> = v
+    v = RNG.normal(size=(3, 8)) + 1j * RNG.normal(size=(3, 8))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    u = np.asarray(_prep_unitary(jnp.asarray(v, jnp.complex64)))
+    for i in range(3):
+        np.testing.assert_allclose(u[i] @ u[i].conj().T, np.eye(8), atol=1e-5)
+        np.testing.assert_allclose(u[i][:, 0], v[i], atol=1e-5)
