@@ -95,6 +95,14 @@ def build_parser(description: str, *, default_models, default_data: str,
                    help="Override learning rate for all models.")
     p.add_argument("--epochs", type=int, default=default_epochs)
     p.add_argument("--batch_size", type=int, default=default_batch_size)
+    p.add_argument("--vmap-labels", action="store_true",
+                   help="Train ALL labels simultaneously in one vmapped "
+                        "TPU program (the reference loops labels serially).")
+    p.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
+                   help="Capture a JAX device trace of the training run.")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="Also checkpoint every N epochs (preemption safety; "
+                        "0 = only at the end like the reference).")
 
     orig_parse = p.parse_args
 
@@ -196,15 +204,32 @@ def make_first_x(args, n: int = 10):
 def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
     """Reference train() (src/mnist_exm.py:148-203): Adam, remaining epochs,
     checkpoint at <save_path>/<save_name>_<label>.pt."""
+    import contextlib
+
+    from ..profiler import device_trace
+
     print("Training model")
     remaining = args.epochs - start_epoch
-    if remaining > 0:
-        losses, wall = train_diffusion_scan(
-            diff, x_train, epochs=remaining, batch_size=args.batch_size,
-            lr=args.lr, T=args.tau, key=jax.random.PRNGKey(args.seed))
-        loss_values = list(loss_values) + [float(v) for v in losses]
-        print(f"trained {remaining} epochs in {wall:.3f}s "
-              f"({len(x_train) * remaining / max(wall, 1e-9):.0f} images/s)")
+    ckpt_every = getattr(args, "checkpoint_every", 0) or 0
+    trace_ctx = (device_trace(args.profile)
+                 if getattr(args, "profile", None) else
+                 contextlib.nullcontext())
+    with trace_ctx:
+        done = start_epoch
+        while remaining > 0:
+            seg = min(remaining, ckpt_every) if ckpt_every else remaining
+            losses, wall = train_diffusion_scan(
+                diff, x_train, epochs=seg, batch_size=args.batch_size,
+                lr=args.lr, T=args.tau,
+                key=jax.random.PRNGKey(args.seed + done))
+            loss_values = list(loss_values) + [float(v) for v in losses]
+            done += seg
+            remaining -= seg
+            print(f"trained {seg} epochs in {wall:.3f}s "
+                  f"({len(x_train) * seg / max(wall, 1e-9):.0f} images/s)")
+            if ckpt_every and remaining > 0:
+                save_diffusion(diff, args.save_path, args.label, loss_values,
+                               done)
     save_diffusion(diff, args.save_path, args.label, loss_values, args.epochs)
     return loss_values
 
@@ -288,12 +313,99 @@ def load_outp(diff, load_path, noise_intensity):
         return None
 
 
+def run_labels_vmapped(args, labels, *, tau_test: int = 15):
+    """Train EVERY label's model simultaneously in one vmapped program.
+
+    TPU-first alternative to the reference's serial per-label loop
+    (src/mnist_exm.py:354): per-label datasets are truncated to a common
+    size and stacked; per-label parameters get independent seeds; one
+    compiled program trains them all. Metrics/checkpoints emitted per label
+    with the reference conventions.
+    """
+    import optax
+
+    from ..metrics import get_ssim_single
+    from ..noise import add_normal_noise_multiple as schedule
+
+    validate_args(args)
+    labels = list(labels)
+    x_all, y_all, height, width = load_dataset(args)
+    per_label = [x_all[y_all == l] for l in labels]
+    n_min = min(len(v) for v in per_label)
+    n_min = max(int(n_min * args.reduced_size), 2)
+    cutoff = max(int(n_min * 0.8), 1)
+    x_train = np.stack([v[:cutoff] for v in (p[:n_min] for p in per_label)])
+    x_test = np.stack([p[:n_min][cutoff:] for p in per_label])
+    print(f"vmapped labels {labels}: per-label train {x_train.shape}")
+    args.batch_size = min(args.batch_size, cutoff)
+    first_x = make_first_x(args)
+
+    all_scores: Dict[str, Dict[str, list]] = {}
+    for model_args in args.model:
+        model_name = model_args[0]
+        proto = build_model(model_args, seed=args.seed)
+        module = proto.module
+        args.lr = model_lr(args, model_name)
+        diff = Diffusion(net=proto, noise_f=schedule,
+                         prediction_goal=args.target, shape=(height, width))
+
+        dummy = jnp.asarray(x_train[0][: max(2, min(32, cutoff))]).reshape(
+            -1, 1, height, width)
+        keys = jnp.stack([jax.random.PRNGKey(args.seed + l) for l in labels])
+        stacked = jax.jit(jax.vmap(
+            lambda k: module.init(k, dummy, train=False)))(keys)
+        params = stacked["params"]
+        extra = {k: v for k, v in stacked.items() if k != "params"}
+
+        optimizer = optax.adam(args.lr)
+        opt_state = jax.jit(jax.vmap(optimizer.init))(params)
+        run = diff.make_multi_epoch_fn(optimizer, args.tau, args.batch_size,
+                                       args.epochs)
+        vrun = jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, 0, None)),
+                       static_argnums=(5,))
+        tkeys = jax.random.split(jax.random.PRNGKey(args.seed), len(labels))
+        xtr = jnp.asarray(x_train, jnp.float32)
+        params, opt_state, extra, losses = vrun(
+            params, opt_state, extra, tkeys, xtr, cutoff)
+        losses = np.asarray(losses)  # (n_labels, epochs)
+
+        def one_sample(p, e):
+            return diff.sample_stack_fn({"params": p, **e}, first_x, tau_test)
+
+        stacks = np.asarray(jax.jit(jax.vmap(one_sample))(params, extra))
+
+        scores = {"ssim": [], "psnr": [], "cos": []}
+        for i, label in enumerate(labels):
+            var_i = {"params": jax.tree_util.tree_map(lambda a: a[i], params),
+                     **jax.tree_util.tree_map(lambda a: a[i], extra)}
+            proto.variables = var_i
+            sp = pathlib.Path(str(args.save_path) + str(label) + "/noise_0")
+            from ..ckpt import save_checkpoint
+
+            save_checkpoint(sp / f"{diff.save_name()}_{label}.pt", var_i,
+                            [float(v) for v in losses[i]], args.epochs)
+            real = x_test[i].reshape(-1, 1, height, width)
+            gen = stacks[i]
+            s = metrics.ssim_iterations(gen, real, 5, 80)
+            p_ = metrics.psnr_iterations(gen, real, 5, 80)
+            c = metrics.cosine_iterations(gen, real, 5, 80)
+            scores["ssim"].append(float(s[-1]))
+            scores["psnr"].append(float(p_[-1]))
+            scores["cos"].append(float(c[-1]))
+            print(f"label {label}: loss {losses[i][0]:.4f}->"
+                  f"{losses[i][-1]:.4f} ssim={s[-1]:.4f}")
+        all_scores[model_name] = scores
+    return all_scores
+
+
 def run_labels(args, labels, *, augment_to: Optional[int] = None,
                add_noise_range=range(0, 1), tau_test: int = 15):
     """The reference drivers' main loop (src/mnist_exm.py:334-503): per
     label, load data, split, per model: build -> resume -> train -> test ->
     metrics; plot loss/SSIM/PSNR/cosine curves."""
     validate_args(args)
+    if getattr(args, "vmap_labels", False):
+        return run_labels_vmapped(args, labels, tau_test=tau_test)
     original_save, original_load = args.save_path, args.load_path
     all_scores: Dict[str, Dict[str, list]] = {
         m[0]: {"ssim": [], "psnr": [], "cos": []} for m in args.model}

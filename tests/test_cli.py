@@ -134,3 +134,30 @@ def test_ray_driver_small(tmp_path, monkeypatch):
     assert len(results) == 4
     rec = json.loads(results[0].read_text().strip())
     assert "ssim" in rec and "loss" in rec
+
+
+def test_vmap_labels_mode(tmp_path, monkeypatch):
+    from qiddm_tpu.cli import mnist_exm
+
+    monkeypatch.chdir(tmp_path)
+    args = _fast_args(mnist_exm, tmp_path, extra=["--vmap-labels"])
+    scores = common.run_labels(args, labels=[3, 4], tau_test=3)
+    s = scores["QIDDM_LL_noise"]
+    assert len(s["ssim"]) == 2 and len(s["psnr"]) == 2
+    assert all(np.isfinite(v) for v in s["ssim"])
+    # per-label checkpoints written
+    for label in (3, 4):
+        hits = list(pathlib.Path(tmp_path).rglob(f"*_{label}.pt"))
+        assert hits, f"missing checkpoint for label {label}"
+
+
+def test_checkpoint_every(tmp_path, monkeypatch):
+    from qiddm_tpu.cli import mnist_exm
+
+    monkeypatch.chdir(tmp_path)
+    args = _fast_args(mnist_exm, tmp_path,
+                      extra=["--label", "4", "--checkpoint-every", "1",
+                             "--epochs", "3"])
+    common.run_labels(args, labels=[4], tau_test=3)
+    ckpts = list(pathlib.Path(tmp_path).rglob("*_4.pt"))
+    assert ckpts

@@ -294,3 +294,16 @@ def test_autodiff_through_qdense():
 
     g = jax.grad(loss)(w)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_engine_compose_and_direct_paths_agree():
+    """batch >= dim triggers unitary composition; batch < dim applies
+    per-layer unitaries. Both must agree with each other."""
+    wires, L, k = 2, 3, 2
+    w = jnp.asarray(rand_weights(L, k, wires, 3), jnp.float32)
+    x_small = jnp.asarray(RNG.normal(size=(2, wires)), jnp.float32)  # direct
+    x_big = jnp.tile(x_small, (4, 1))  # batch 8 >= dim 4 -> compose
+    out_small = np.asarray(sim.reupload_block(x_small, w, readout="expvalz"))
+    out_big = np.asarray(sim.reupload_block(x_big, w, readout="expvalz"))
+    np.testing.assert_allclose(out_big[:2], out_small, atol=1e-5)
+    np.testing.assert_allclose(out_big[2:4], out_small, atol=1e-5)
