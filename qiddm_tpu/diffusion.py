@@ -310,7 +310,14 @@ class Diffusion:
             key = key if key is not None else jax.random.PRNGKey(0)
             first_x = jax.random.uniform(
                 key, (10, 1, self.width, self.height))
-        fn = jax.jit(functools.partial(
-            self.sample_fn, n_iters=int(n_iters), only_last=only_last,
-            step=int(step), noise_factor=float(noise_factor)))
-        return fn(self.net.variables, jnp.asarray(first_x))
+        # cache the jitted sampler per static config — a fresh
+        # jit(partial(...)) every call would recompile every time
+        cfg = (int(n_iters), bool(only_last), int(step), float(noise_factor))
+        cache = getattr(self, "_sample_cache", None)
+        if cache is None:
+            cache = self._sample_cache = {}
+        if cfg not in cache:
+            cache[cfg] = jax.jit(functools.partial(
+                self.sample_fn, n_iters=cfg[0], only_last=cfg[1],
+                step=cfg[2], noise_factor=cfg[3]))
+        return cache[cfg](self.net.variables, jnp.asarray(first_x))
