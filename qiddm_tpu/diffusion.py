@@ -293,10 +293,15 @@ class Diffusion:
     def __call__(self, x=None, key=None, **kwargs):
         if self.training:
             key = key if key is not None else jax.random.PRNGKey(0)
-            T = kwargs.get("T", 10)
+            T = int(kwargs.get("T", 10))
             x_flat = jnp.asarray(x).reshape(len(x), -1)
-            loss, (per_elem, recon, _) = self.loss_fn(
-                self.net.params, self.net.extra_variables, key, x_flat, T)
+            cache = getattr(self, "_loss_cache", None)
+            if cache is None:
+                cache = self._loss_cache = {}
+            if T not in cache:
+                cache[T] = jax.jit(functools.partial(self.loss_fn, T=T))
+            loss, (per_elem, recon, _) = cache[T](
+                self.net.params, self.net.extra_variables, key, x_flat)
             if kwargs.get("verbose", False):
                 return jnp.abs(per_elem), jnp.abs(recon)
             return (jnp.abs(loss),)

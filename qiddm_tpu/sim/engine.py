@@ -314,8 +314,7 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
         else:
             states = zero_state(x.shape[0], wires, dtype=cdtype) * rz_phases(x, wires)
         states = apply_unitary(states, u)
-        if noise is not None and noise.kind == "phase_shift" and readout == "expvalz":
-            pass  # diagonal after the unitary: Z expectations unchanged
+        # (a trailing phase_shift is diagonal: probs/Z-expectations unchanged)
         return probs(states) if readout == "probs" else expval_z(states)
 
     kraus = _kraus_array(noise, cdtype)

@@ -65,3 +65,16 @@ def test_noise_goal_training_runs():
                              key=jax.random.PRNGKey(1))
     assert float(np.asarray(out).min()) >= 0.0
     assert float(np.asarray(out).max()) <= 1.0
+
+
+def test_torch_like_forward_api():
+    """The reference-style `diff(x=..., T=..., verbose=True)` call path
+    (src/mnist_exm.py:180) — jitted under the hood."""
+    x, h, w = _digits_for_label()
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w)).train()
+    per_elem, recon = diff(x=x[:4].reshape(-1, 1, 8, 8), T=3, verbose=True)
+    assert per_elem.shape == (4 * 3, 1, 8, 8)
+    assert recon.shape == (4 * 3, 1, 8, 8)
+    (loss,) = diff(x=x[:4].reshape(-1, 1, 8, 8), T=3)
+    assert np.isfinite(float(loss))
