@@ -38,6 +38,7 @@ def make_main(description, *, default_data, default_img_size, labels,
     def main(argv=None):
         common.initial_log()
         args = parse_args(sys.argv[1:] if argv is None else argv)
-        return common.run_labels(args, labels=labels, augment_to=augment_to)
+        return common.run_labels(args, labels=labels, augment_to=augment_to,
+                                 tau_test=5)
 
     return parse_args, main
