@@ -190,11 +190,33 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     x_enc = _encode_angles(x_enc, encode, noise)
 
     if not _needs_dm(noise):
-        # Strategy: composing each block into one unitary costs O(k d^3);
-        # applying the k per-layer unitaries straight to the state batch
-        # costs O(k b d^2). Compose only when the batch exceeds the state
-        # dimension (constant program size either way — both paths scan).
+        from .. import config as _config
+
+        # Strategy ladder:
+        # * batch >= dim: compose each block into one unitary (MXU matmuls,
+        #   O(k d^3) amortized over a big batch);
+        # * batch < dim, d <= 256, TPU: fused unitary-streaming Pallas kernel;
+        # * batch < dim, d > 256, TPU+CZ: gate-level Pallas kernel — never
+        #   materializes a unitary (O(L k w B d) elementwise work);
+        # * otherwise: per-layer unitaries applied by lax.scan.
         compose = batch >= dim
+        on_tpu = jax.default_backend() == "tpu"
+        use_gate_kernel = (
+            not compose and _config.use_pallas() and on_tpu
+            and encode in ("rz", "rz_halfpi") and imprimitive == "cz"
+            and dim > 256
+        )
+        if use_gate_kernel:
+            from .gates import rot_matrix
+            from .pallas_gate_kernel import gate_chain_pallas
+
+            flat = block_weights.reshape(L * k, wires, 3)
+            mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+            phases = rz_phases(x_enc, wires)
+            states = gate_chain_pallas(phases, mats, k, wires).astype(cdtype)
+            if readout == "probs":
+                return probs(states)
+            return expval_z(states)
         if compose:
             us = sel_unitaries(block_weights,
                                imprimitive=imprimitive).astype(cdtype)

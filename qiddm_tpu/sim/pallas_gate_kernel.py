@@ -1,0 +1,281 @@
+"""Gate-level fused Pallas kernel for the re-uploading chain at LARGE dims.
+
+The unitary-based kernel (pallas_kernels.py) streams (d, d) layer matrices —
+at d = 1024 building those unitaries dominates the step. This kernel never
+materializes a unitary: it applies the raw per-wire 2x2 rotations and CZ
+signs directly to the state batch, entirely in VMEM, in ONE kernel for the
+whole L x k chain.
+
+Layout: state planes are held TRANSPOSED as (d, B) — the basis index on
+sublanes, the batch on lanes. A gate on wire j then only needs
+leading-axis reshapes (d, B) -> (left, 2, right, B), which are free (the
+tiled trailing dims never change), plus elementwise VPU work. ~O(L k w B d)
+flops total vs O(L k d^3) for unitary composition.
+
+The backward is a second kernel walking the chain in reverse: states are
+reconstructed through adjoint gates (zero residual memory) and each gate's
+(2, 2) gradient is accumulated from plane inner products.
+
+CZ imprimitives only (the entire QIDDM/differN family); qdense's CNOT ring
+keeps the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sel import cz_ring_signs, sel_ranges
+
+
+def _partner(sr, si, bit: int, is1):
+    """Partner-row amplitudes s[i ^ bit] via two sublane rolls + select
+    (value reshapes with tiny sublane dims pad ~8x and blow VMEM; rolls on
+    full (d, B) planes do not)."""
+    d = sr.shape[0]
+    down_r = pltpu.roll(sr, d - bit, axis=0)   # [i] = s[i + bit] (cyclic)
+    down_i = pltpu.roll(si, d - bit, axis=0)
+    up_r = pltpu.roll(sr, bit, axis=0)         # [i] = s[i - bit]
+    up_i = pltpu.roll(si, bit, axis=0)
+    o_r = jnp.where(is1, up_r, down_r)
+    o_i = jnp.where(is1, up_i, down_i)
+    return o_r, o_i
+
+
+def _wire_mask(j: int, d: int, B: int, w: int):
+    bit_pos = w - 1 - j
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, B), 0)
+    return ((row >> bit_pos) & 1) == 1
+
+
+def _gate_apply(sr, si, g8, j: int, d: int, B: int, w: int):
+    """Apply one 2x2 complex gate to wire j of (d, B) state planes.
+
+    g8: 8 scalars (g00r, g00i, g01r, g01i, g10r, g10i, g11r, g11i).
+    Full-width formulation: rows with wire-bit 0 combine (self, partner)
+    with (g00, g01); rows with bit 1 combine (partner, self) with (g10, g11).
+    """
+    bit = 1 << (w - 1 - j)
+    is1 = _wire_mask(j, d, B, w)
+    o_r, o_i = _partner(sr, si, bit, is1)
+    g00r, g00i, g01r, g01i, g10r, g10i, g11r, g11i = g8
+    n_r0 = g00r * sr - g00i * si + g01r * o_r - g01i * o_i
+    n_i0 = g00r * si + g00i * sr + g01r * o_i + g01i * o_r
+    n_r1 = g10r * o_r - g10i * o_i + g11r * sr - g11i * si
+    n_i1 = g10r * o_i + g10i * o_r + g11r * si + g11i * sr
+    return jnp.where(is1, n_r1, n_r0), jnp.where(is1, n_i1, n_i0)
+
+
+def _adjoint(g8):
+    g00r, g00i, g01r, g01i, g10r, g10i, g11r, g11i = g8
+    return (g00r, -g00i, g10r, -g10i, g01r, -g01i, g11r, -g11i)
+
+
+def _read_g8(g_ref, l, j: int):
+    return tuple(g_ref[l, j, t] for t in range(8))
+
+
+def _select_signs(sgn_ref, l, k: int):
+    """CZ sign plane for layer l. Ranges cycle with period k, so the k
+    static (d, 1) planes are selected with scalar predicates (Mosaic cannot
+    lane-slice at a dynamic unaligned index)."""
+    sg = sgn_ref[0]
+    for li in range(1, k):
+        sg = jnp.where(l % k == li, sgn_ref[li], sg)
+    return sg
+
+
+def _fwd_kernel(k: int, w: int, n_layers: int,
+                pr_ref, pi_ref, g_ref, sgn_ref, or_ref, oi_ref):
+    d, B = pr_ref.shape
+
+    def body(l, carry):
+        sr, si = carry
+
+        def phased(sr, si):
+            tr = sr * pr_ref[:] - si * pi_ref[:]
+            ti = sr * pi_ref[:] + si * pr_ref[:]
+            return tr, ti
+
+        sr, si = jax.lax.cond(l % k == 0, phased,
+                              lambda a, b: (a, b), sr, si)
+        for j in range(w):
+            sr, si = _gate_apply(sr, si, _read_g8(g_ref, l, j), j, d, B, w)
+        sg = _select_signs(sgn_ref, l, k)
+        return sr * sg, si * sg
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, B), 0)
+    sr = jnp.where(row == 0, 1.0, 0.0).astype(jnp.float32)
+    si = jnp.zeros((d, B), jnp.float32)
+    sr, si = jax.lax.fori_loop(0, n_layers, body, (sr, si))
+    or_ref[:] = sr
+    oi_ref[:] = si
+
+
+def _plane_dg(cr, ci, sr_in, si_in, j: int, d: int, B: int, w: int):
+    """(8,) gate gradient from the cotangent (OUT side) and the
+    reconstructed INPUT state: dg[x, y] = sum over rows with wire-bit x of
+    c * pairing(state value of the y side)."""
+    bit = 1 << (w - 1 - j)
+    is1 = _wire_mask(j, d, B, w)
+    o_r, o_i = _partner(sr_in, si_in, bit, is1)
+    zero = jnp.zeros_like(cr)
+    # products against the own-row state (y == x) and the partner (y != x)
+    own_r = cr * sr_in + ci * si_in
+    own_i = ci * sr_in - cr * si_in
+    oth_r = cr * o_r + ci * o_i
+    oth_i = ci * o_r - cr * o_i
+    dg00r = jnp.sum(jnp.where(is1, zero, own_r))
+    dg00i = jnp.sum(jnp.where(is1, zero, own_i))
+    dg01r = jnp.sum(jnp.where(is1, zero, oth_r))
+    dg01i = jnp.sum(jnp.where(is1, zero, oth_i))
+    dg10r = jnp.sum(jnp.where(is1, oth_r, zero))
+    dg10i = jnp.sum(jnp.where(is1, oth_i, zero))
+    dg11r = jnp.sum(jnp.where(is1, own_r, zero))
+    dg11i = jnp.sum(jnp.where(is1, own_i, zero))
+    return jnp.stack([dg00r, dg00i, dg01r, dg01i,
+                      dg10r, dg10i, dg11r, dg11i])
+
+
+def _bwd_kernel(k: int, w: int, n_layers: int,
+                pr_ref, pi_ref, g_ref, sgn_ref, fr_ref, fi_ref,
+                gr_ref, gi_ref, dg_ref, dpr_ref, dpi_ref):
+    d, B = pr_ref.shape
+
+    def body(i, carry):
+        sr, si, cr, ci, dpr, dpi = carry
+        l = n_layers - 1 - i
+        sg = _select_signs(sgn_ref, l, k)
+        sr, si = sr * sg, si * sg      # CZ is self-inverse
+        cr, ci = cr * sg, ci * sg
+        for j in range(w - 1, -1, -1):
+            adj = _adjoint(_read_g8(g_ref, l, j))
+            sr, si = _gate_apply(sr, si, adj, j, d, B, w)   # input state
+            dg_ref[pl.ds(l, 1), j, :] = _plane_dg(
+                cr, ci, sr, si, j, d, B, w).reshape(1, 8)
+            cr, ci = _gate_apply(cr, ci, adj, j, d, B, w)   # cotangent
+
+        def unphase(args):
+            sr, si, cr, ci, dpr, dpi = args
+            pr_, pi_ = pr_ref[:], pi_ref[:]
+            spr = sr * pr_ + si * pi_    # state before the phase
+            spi = si * pr_ - sr * pi_
+            dpr = dpr + cr * spr + ci * spi
+            dpi = dpi + ci * spr - cr * spi
+            crn = cr * pr_ + ci * pi_
+            cin = ci * pr_ - cr * pi_
+            return spr, spi, crn, cin, dpr, dpi
+
+        sr, si, cr, ci, dpr, dpi = jax.lax.cond(
+            l % k == 0, unphase, lambda a: a, (sr, si, cr, ci, dpr, dpi))
+        return sr, si, cr, ci, dpr, dpi
+
+    zeros = jnp.zeros((d, B), jnp.float32)
+    carry = (fr_ref[:], fi_ref[:], gr_ref[:], gi_ref[:], zeros, zeros)
+    _, _, _, _, dpr, dpi = jax.lax.fori_loop(0, n_layers, body, carry)
+    dpr_ref[:] = dpr
+    dpi_ref[:] = dpi
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gate_chain(pr, pi, g8, signs, k: int, w: int, interpret: bool):
+    return _gate_chain_fwd_call(pr, pi, g8, signs, k, w, interpret)
+
+
+def _gate_chain_fwd_call(pr, pi, g8, signs, k, w, interpret):
+    d, B = pr.shape
+    n_layers = g8.shape[0]
+    kern = functools.partial(_fwd_kernel, k, w, n_layers)
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pr, pi, g8, signs)
+
+
+def _gate_chain_fwd(pr, pi, g8, signs, k, w, interpret):
+    out = _gate_chain_fwd_call(pr, pi, g8, signs, k, w, interpret)
+    return out, (pr, pi, g8, signs, out[0], out[1])
+
+
+def _gate_chain_bwd(k, w, interpret, res, g):
+    pr, pi, g8, signs, fr, fi = res
+    gr, gi = g
+    d, B = pr.shape
+    n_layers = g8.shape[0]
+    kern = functools.partial(_bwd_kernel, k, w, n_layers)
+    dg, dpr, dpi = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_layers, w, 8), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pr, pi, g8, signs, fr, fi, gr, gi)
+    return dpr, dpi, dg, None
+
+
+_gate_chain.defvjp(_gate_chain_fwd, _gate_chain_bwd)
+
+
+def gate_chain_pallas(phases, rot_mats, k: int, wires: int,
+                      interpret: bool = False):
+    """Run the full re-uploading chain gate-by-gate, fused.
+
+    phases: (B, d) complex RZ-phase diagonal (applied before every k-th
+    layer); rot_mats: (n_layers, wires, 2, 2) complex per-wire rotations
+    (layer = one SEL layer; CZ ring with the per-block cycling ranges is
+    applied after each layer's rotations). Returns (B, d) complex states.
+    """
+    n_layers = rot_mats.shape[0]
+    d = phases.shape[1]
+    B = phases.shape[0]
+    # k static CZ sign planes (ranges cycle per block), shaped (k, d, 1)
+    ranges = sel_ranges(k, wires)
+    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
+                    for li in range(k)]).astype(np.float32)
+    g8 = jnp.stack([
+        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
+        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
+        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
+        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
+    ], axis=-1).astype(jnp.float32)  # (n_layers, wires, 8)
+    pr = jnp.real(phases).astype(jnp.float32).T  # (d, B)
+    pi = jnp.imag(phases).astype(jnp.float32).T
+    out_r, out_i = _gate_chain(pr, pi, g8, jnp.asarray(sgn), k, wires,
+                               interpret)
+    return (out_r + 1j * out_i).T  # (B, d)

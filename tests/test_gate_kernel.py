@@ -1,0 +1,65 @@
+"""Gate-level fused Pallas kernel: parity with the jnp engine path
+(interpret mode on CPU; the TPU path is exercised by bench runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qiddm_tpu import sim
+from qiddm_tpu.sim.gates import rot_matrix
+from qiddm_tpu.sim.pallas_gate_kernel import gate_chain_pallas
+from qiddm_tpu.sim.statevector import rz_phases
+
+RNG = np.random.default_rng(61)
+
+
+def _params(B=6, w=4, L=3, k=2):
+    wq = jnp.asarray(RNG.normal(size=(L, k, w, 3)) * 0.4, jnp.float32)
+    xe = jnp.asarray(RNG.normal(size=(B, w)), jnp.float32)
+    return wq, xe, B, w, L, k
+
+
+def test_gate_kernel_forward_matches_engine():
+    wq, xe, B, w, L, k = _params()
+    want = np.asarray(sim.reupload_block(xe, wq, imprimitive="cz",
+                                         readout="probs"))
+    flat = wq.reshape(L * k, w, 3)
+    mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+    st = gate_chain_pallas(rz_phases(xe, w), mats, k, w, interpret=True)
+    got = np.asarray(jnp.abs(st) ** 2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gate_kernel_gradients_match_engine():
+    wq, xe, B, w, L, k = _params()
+    coeff = jnp.asarray(RNG.normal(size=(B, 2**w)), jnp.float32)
+
+    def loss_kernel(wq, xe):
+        flat = wq.reshape(L * k, w, 3)
+        mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+        st = gate_chain_pallas(rz_phases(xe, w), mats, k, w, interpret=True)
+        return jnp.sum(coeff * (jnp.real(st) ** 2 + jnp.imag(st) ** 2))
+
+    def loss_engine(wq, xe):
+        return jnp.sum(coeff * sim.reupload_block(xe, wq, imprimitive="cz",
+                                                  readout="probs"))
+
+    g1 = jax.grad(loss_engine, argnums=(0, 1))(wq, xe)
+    g2 = jax.grad(loss_kernel, argnums=(0, 1))(wq, xe)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               atol=3e-5)
+
+
+def test_gate_kernel_k3():
+    wq, xe, B, w, L, k = _params(w=3, L=2, k=3)
+    want = np.asarray(sim.reupload_block(xe, wq, imprimitive="cz",
+                                         readout="expvalz"))
+    flat = wq.reshape(L * k, w, 3)
+    mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+    st = gate_chain_pallas(rz_phases(xe, w), mats, k, w, interpret=True)
+    from qiddm_tpu.sim.statevector import expval_z
+
+    got = np.asarray(expval_z(st))
+    np.testing.assert_allclose(got, want, atol=1e-5)
