@@ -204,7 +204,6 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         use_gate_kernel = (
             not compose and _config.use_pallas() and on_tpu
             and encode in ("rz", "rz_halfpi") and imprimitive == "cz"
-            and dim > 256
         )
         if use_gate_kernel:
             from .gates import rot_matrix

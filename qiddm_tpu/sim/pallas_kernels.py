@@ -40,9 +40,10 @@ def _fwd_kernel(k: int, pr_ref, pi_ref, ur_ref, ui_ref, or_ref, oi_ref,
 
     @pl.when(l == 0)
     def _():
-        z = jnp.zeros_like(sr)
-        sr[:] = z.at[:, 0].set(1.0)
-        si[:] = z
+        # iota mask, not .at[].set — scatter has no Mosaic lowering
+        col = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+        sr[:] = jnp.where(col == 0, 1.0, 0.0).astype(jnp.float32)
+        si[:] = jnp.zeros(si.shape, jnp.float32)
 
     # phase encode at block starts (every k-th layer)
     @pl.when(l % k == 0)
