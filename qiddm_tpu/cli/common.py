@@ -27,7 +27,7 @@ from .. import nn as nn_mod
 from ..ckpt import load_diffusion, save_diffusion
 from ..diffusion import Diffusion
 from ..logging_utils import initial_log  # noqa: F401  (re-export for drivers)
-from ..noise import SCHEDULES, add_normal_noise_multiple
+from ..noise import add_normal_noise_multiple
 from ..train import train_diffusion_scan
 
 MODEL_REGISTRY = {
@@ -324,7 +324,6 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15):
     """
     import optax
 
-    from ..metrics import get_ssim_single
     from ..noise import add_normal_noise_multiple as schedule
 
     validate_args(args)

@@ -19,7 +19,7 @@ as one ``lax.scan`` over shuffled index batches; sampling is one
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ start_channels=8, qdepth=3)`` with channel doubling and a final 1x1 conv
 
 from __future__ import annotations
 
-from typing import Any, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -10,6 +10,7 @@ axes here:
   a ``trial`` mesh axis (replaces Ray Tune).
 """
 
+from .distributed import initialize as initialize_distributed  # noqa: F401
 from .mesh import (  # noqa: F401
     dp_constraint,
     make_mesh,

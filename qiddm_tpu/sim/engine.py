@@ -19,7 +19,6 @@ loops only over static trace-time structure (L, N, wires).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 import jax.numpy as jnp

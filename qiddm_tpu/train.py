@@ -9,7 +9,7 @@ host-device boundary once per epoch to record the loss.
 from __future__ import annotations
 
 import time
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
