@@ -1,0 +1,93 @@
+"""Standalone sampling / serving driver.
+
+Loads a trained checkpoint and generates images on demand — the inference
+path packaged as its own CLI (the reference only samples inside its training
+scripts). The sampler is one compiled program; repeated batches reuse it.
+
+  python -m qiddm_tpu.cli.sample --ckpt results/.../QIDDM_LL_noise=6_L=14_N=2_4.pt \
+      --model QIDDM_LL_noise 784 6 14 2 --img_size 28 \
+      --n 64 --iters 15 --out samples/
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import jax
+import numpy as np
+
+from ..ckpt import load_checkpoint
+from ..diffusion import Diffusion
+from . import common
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="QDDM sampling / serving")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--model", type=str, nargs="+", required=True,
+                   help="Model name and ctor params (as in the training CLI)")
+    p.add_argument("--img_size", type=int, default=28)
+    p.add_argument("--n", type=int, default=16, help="images to generate")
+    p.add_argument("--iters", type=int, default=15, help="denoise iterations")
+    p.add_argument("--target", type=str, default="data")
+    p.add_argument("--noise_factor", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="samples")
+    p.add_argument("--format", choices=["png", "npz", "both"], default="both")
+    p.add_argument("--batches", type=int, default=1,
+                   help="generate this many batches (throughput reporting)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+    net = common.build_model(list(args.model), seed=args.seed)
+    ckpt = load_checkpoint(args.ckpt)
+    net.variables = ckpt["model_state_dict"]
+    s = args.img_size
+    diff = Diffusion(net=net, prediction_goal=args.target, shape=(s, s)).eval()
+
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    all_imgs = []
+    t_first = t_rest = None
+    for b in range(args.batches):
+        key, sub = jax.random.split(key)
+        first_x = jax.random.uniform(sub, (args.n, 1, s, s)) * 0.75 + 0.5
+        t0 = time.time()
+        imgs = np.asarray(diff.sample(
+            n_iters=args.iters, first_x=first_x, only_last=True,
+            noise_factor=args.noise_factor))
+        dt = time.time() - t0
+        if b == 0:
+            t_first = dt
+        else:
+            t_rest = (t_rest or 0) + dt
+        all_imgs.append(imgs)
+    imgs = np.concatenate(all_imgs)
+
+    if args.format in ("npz", "both"):
+        np.savez_compressed(out_dir / "samples.npz", images=imgs)
+    if args.format in ("png", "both"):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for i in range(len(imgs)):
+            plt.imsave(out_dir / f"sample_{i:04d}.png", imgs[i, 0],
+                       cmap="gray")
+    msg = (f"generated {len(imgs)} images ({args.iters} iters) -> {out_dir}; "
+           f"first batch {t_first:.2f}s (incl compile)")
+    if args.batches > 1:
+        steady = (args.batches - 1) * args.n / t_rest
+        msg += f", steady {steady:.0f} images/s"
+    print(msg)
+    return imgs
+
+
+if __name__ == "__main__":
+    main()

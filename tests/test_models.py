@@ -98,3 +98,35 @@ def test_param_counts_match_reference_formulas():
     # Qdense: only SEL weights qdepth*wires*3
     net = nn.QDenseUndirected_old(5, 8)
     assert net.num_params() == 5 * 6 * 3
+
+
+def test_differn_full_chain_vs_oracle():
+    """The differN flagship end to end vs the numpy oracle: PCA down, N
+    blocks with probs fed back as the next block's first-`wires` encoding
+    angles (reference nn/qdense.py:450-472), final pixel post-processing."""
+    import oracle
+    from qiddm_tpu import pca as pca_mod
+
+    side, L, N = 4, 2, 2  # pixels=16 -> wires=4
+    net = nn.differN_old_pca(side, L, N)
+    b = 8
+    x = np.asarray(RNG.uniform(size=(b, 1, side, side)), np.float32)
+    got = np.asarray(net(jnp.asarray(x)))
+
+    w = np.asarray(net.params["qweights"])  # (N, L, 2, wires, 3)
+    wires, pixels = 4, side * side
+    st, enc = pca_mod.pca_fit_transform(
+        jnp.asarray(x.reshape(b, -1)), wires)
+    enc = np.asarray(enc)
+    for n in range(N):
+        outs = []
+        for i in range(b):
+            state = np.zeros(2**wires, complex)
+            state[0] = 1.0
+            for l in range(L):
+                state = oracle.rz_encode_state(state, enc[i, :wires], wires)
+                state = oracle.sel_matrix(w[n, l], wires, "cz") @ state
+            outs.append(oracle.probs(state))
+        enc = np.stack(outs)  # (b, 2**wires) probs feed the next block
+    want = np.clip(enc[:, :pixels] * pixels, 0, 1).reshape(b, 1, side, side)
+    np.testing.assert_allclose(got, want, atol=2e-4)
