@@ -104,7 +104,11 @@ def _texture_fallback(side: int, name: str, n_classes: int = 10,
         f"dataset {name!r} unavailable offline; generating deterministic "
         f"synthetic textures ({n} samples, {n_classes} classes). Drop an "
         f".npz cache in {DATA_DIR} for real data.")
-    rng = np.random.default_rng(abs(hash(name)) % (2**32))
+    import zlib
+
+    # stable per-name seed (Python's hash() is salted per process, which
+    # would make the fallback data differ between runs)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     yy, xx = np.mgrid[0:side, 0:side] / side
     y = rng.integers(0, n_classes, size=n)
     freqs = 1.0 + np.arange(n_classes)
