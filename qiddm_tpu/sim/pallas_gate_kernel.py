@@ -57,13 +57,32 @@ def _gate_apply(sr, si, g8, j: int, d: int, B: int, w: int):
     """Apply one 2x2 complex gate to wire j of (d, B) state planes.
 
     g8: 8 scalars (g00r, g00i, g01r, g01i, g10r, g10i, g11r, g11i).
-    Full-width formulation: rows with wire-bit 0 combine (self, partner)
-    with (g00, g01); rows with bit 1 combine (partner, self) with (g10, g11).
+
+    Two formulations:
+    * right = d / 2^(j+1) >= 8: leading-axis reshape to (left, 2, right, B)
+      and slice — half the elementwise work, no data movement, and the
+      tiled (right, B) trailing dims stay unpadded;
+    * right < 8: that reshape would pad sublanes up to 8x (VMEM blowup), so
+      fetch partner rows with two sublane rolls and blend with masks.
     """
+    g00r, g00i, g01r, g01i, g10r, g10i, g11r, g11i = g8
     bit = 1 << (w - 1 - j)
+    if bit >= 8:
+        left = 2**j
+        right = d // (2 * left)
+        vr = sr.reshape(left, 2, right, B)
+        vi = si.reshape(left, 2, right, B)
+        s0r, s1r = vr[:, 0], vr[:, 1]
+        s0i, s1i = vi[:, 0], vi[:, 1]
+        n0r = g00r * s0r - g00i * s0i + g01r * s1r - g01i * s1i
+        n0i = g00r * s0i + g00i * s0r + g01r * s1i + g01i * s1r
+        n1r = g10r * s0r - g10i * s0i + g11r * s1r - g11i * s1i
+        n1i = g10r * s0i + g10i * s0r + g11r * s1i + g11i * s1r
+        sr = jnp.stack([n0r, n1r], axis=1).reshape(d, B)
+        si = jnp.stack([n0i, n1i], axis=1).reshape(d, B)
+        return sr, si
     is1 = _wire_mask(j, d, B, w)
     o_r, o_i = _partner(sr, si, bit, is1)
-    g00r, g00i, g01r, g01i, g10r, g10i, g11r, g11i = g8
     n_r0 = g00r * sr - g00i * si + g01r * o_r - g01i * o_i
     n_i0 = g00r * si + g00i * sr + g01r * o_i + g01i * o_r
     n_r1 = g10r * o_r - g10i * o_i + g11r * sr - g11i * si
@@ -122,6 +141,21 @@ def _plane_dg(cr, ci, sr_in, si_in, j: int, d: int, B: int, w: int):
     reconstructed INPUT state: dg[x, y] = sum over rows with wire-bit x of
     c * pairing(state value of the y side)."""
     bit = 1 << (w - 1 - j)
+    if bit >= 8:
+        left = 2**j
+        right = d // (2 * left)
+        c_r = cr.reshape(left, 2, right, B)
+        c_i = ci.reshape(left, 2, right, B)
+        s_r = sr_in.reshape(left, 2, right, B)
+        s_i = si_in.reshape(left, 2, right, B)
+        out = []
+        for x in range(2):
+            for y in range(2):
+                out.append(jnp.sum(c_r[:, x] * s_r[:, y]
+                                   + c_i[:, x] * s_i[:, y]))
+                out.append(jnp.sum(c_i[:, x] * s_r[:, y]
+                                   - c_r[:, x] * s_i[:, y]))
+        return jnp.stack(out)
     is1 = _wire_mask(j, d, B, w)
     o_r, o_i = _partner(sr_in, si_in, bit, is1)
     zero = jnp.zeros_like(cr)
