@@ -52,6 +52,119 @@ def save_diffusion(diff, save_path, label, loss_values, epochs):
     return save_checkpoint(sp, diff.net.variables, loss_values, epochs)
 
 
+def import_torch_state_dict(net, state_dict, strict: bool = True):
+    """Map a REFERENCE torch ``state_dict`` onto a qiddm_tpu model.
+
+    Supports the checkpoints the reference ships (results/emnist.zip etc.)
+    and any produced by its training scripts: the quantum-dense families
+    (weights/weights1 + linear_down/linear_up + batchnorm), conv
+    down-projections, and the UNet family (Sequential-indexed convs and
+    BatchNorms). Tensors convert with the torch->flax layout rules
+    (Linear kernels transpose; Conv OIHW -> HWIO).
+
+    Returns the updated variables dict (also assigned to ``net.variables``).
+    """
+    import copy
+
+    def to_np(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    sd = {}
+    for key, v in state_dict.items():
+        k = key[4:] if key.startswith("net.") else key
+        sd[k] = to_np(v)
+
+    variables = copy.deepcopy(jax.tree_util.tree_map(np.asarray,
+                                                     net.variables))
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    consumed = set()
+
+    def take(k):
+        consumed.add(k)
+        return sd[k]
+
+    def set_linear(dst, prefix):
+        if f"{prefix}.weight" in sd:
+            dst["kernel"] = take(f"{prefix}.weight").T.astype(
+                dst["kernel"].dtype)
+        if f"{prefix}.bias" in sd and "bias" in dst:
+            dst["bias"] = take(f"{prefix}.bias").astype(dst["bias"].dtype)
+
+    def set_conv(dst, prefix):
+        # torch OIHW -> flax HWIO
+        dst["kernel"] = take(f"{prefix}.weight").transpose(2, 3, 1, 0).astype(
+            dst["kernel"].dtype)
+        if f"{prefix}.bias" in sd:
+            dst["bias"] = take(f"{prefix}.bias").astype(dst["bias"].dtype)
+
+    def set_bn(pdst, sdst, prefix):
+        pdst["scale"] = take(f"{prefix}.weight").astype(pdst["scale"].dtype)
+        pdst["bias"] = take(f"{prefix}.bias").astype(pdst["bias"].dtype)
+        sdst["mean"] = take(f"{prefix}.running_mean").astype(
+            sdst["mean"].dtype)
+        sdst["var"] = take(f"{prefix}.running_var").astype(sdst["var"].dtype)
+        consumed.add(f"{prefix}.num_batches_tracked")
+
+    # --- quantum-dense families ------------------------------------------
+    for wkey in ("weights", "weights1"):
+        if wkey in sd and "qweights" in params:
+            params["qweights"] = take(wkey).astype(
+                params["qweights"].dtype).reshape(params["qweights"].shape)
+    if "linear_down.weight" in sd and "linear_down" in params:
+        set_linear(params["linear_down"], "linear_down")
+    if "linear_up.weight" in sd and "linear_up" in params:
+        set_linear(params["linear_up"], "linear_up")
+    if "conv_layer.weight" in sd and "conv_down" in params:
+        set_conv(params["conv_down"]["Conv_0"], "conv_layer")
+    for bn_src, bn_dst in (("batchnorm", "bn"), ("batch_norm", "pca_bn")):
+        if f"{bn_src}.weight" in sd and bn_dst in params:
+            set_bn(params[bn_dst], stats[bn_dst], bn_src)
+
+    # --- UNet family -------------------------------------------------------
+    # reference Sequential indices: DownBlock net = [conv,bn,relu,conv,bn,
+    # relu] -> (0,1,3,4); UpBlock net = [conv,relu,bn,conv,bn,relu] ->
+    # (0,2,3,4); up_conv = [Upsample, conv] -> (1,)
+    for name in list(params):
+        if name.startswith("down"):
+            i = name[4:]
+            blk = f"down_blocks.{i}.net"
+            set_conv(params[name]["conv0"]["Conv_0"], f"{blk}.0")
+            set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.1")
+            set_conv(params[name]["conv1"]["Conv_0"], f"{blk}.3")
+            set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.4")
+        elif name.startswith("up") and name != "up_conv":
+            i = name[2:]
+            blk = f"up_blocks.{i}"
+            set_conv(params[name]["up_conv"]["Conv_0"], f"{blk}.up_conv.1")
+            set_conv(params[name]["conv0"]["Conv_0"], f"{blk}.net.0")
+            set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.net.2")
+            set_conv(params[name]["conv1"]["Conv_0"], f"{blk}.net.3")
+            set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.net.4")
+        elif name == "final_conv":
+            set_conv(params[name]["Conv_0"], "final_conv")
+
+    leftover = set(sd) - consumed
+    if strict and leftover:
+        raise ValueError(f"unmapped reference tensors: {sorted(leftover)}")
+    net.variables = variables
+    return variables
+
+
+def load_reference_checkpoint(net, path, strict: bool = True):
+    """Load a reference torch ``.pt`` checkpoint file into a qiddm_tpu model.
+
+    Returns (loss_values, epochs) like ``load_diffusion``.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt)
+    import_torch_state_dict(net, sd, strict=strict)
+    return ckpt.get("loss_values", []), ckpt.get("epochs", 0)
+
+
 def load_diffusion(diff, load_path, label) -> Tuple[List[float], int]:
     """Driver-level load; returns (loss_values, start_epoch) and degrades to
     a fresh model when missing (reference src/mnist_exm.py:294-323)."""

@@ -192,11 +192,14 @@ class Reupload(nn.Module):
                            (self.N, self.L, self.k, self.hidden, 3))
             blocks = [w[n] for n in range(self.N)]
 
+        if self.batchnorm_pre_block:
+            # ONE BatchNorm shared across all N blocks (reference
+            # nn/qdense.py:2088 reuses self.batchnorm in the loop)
+            shared_bn = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5, name="bn")
         for n in range(self.N):
             if self.batchnorm_pre_block:
-                cur = nn.BatchNorm(use_running_average=not train,
-                                   momentum=0.9, epsilon=1e-5,
-                                   name=f"bn_{n}")(cur)
+                cur = shared_bn(cur)
             enc = cur[:, : self.hidden]
             out = engine.reupload_block(
                 enc, blocks[n], encode=self.encode, imprimitive="cz",

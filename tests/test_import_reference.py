@@ -1,0 +1,96 @@
+"""Import the reference's SHIPPED trained checkpoints (results/emnist.zip)
+into qiddm_tpu models and sample from them — real cross-framework parity."""
+
+import pathlib
+import subprocess
+import zipfile
+
+import jax
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from qiddm_tpu import nn
+from qiddm_tpu.ckpt import load_reference_checkpoint
+from qiddm_tpu.diffusion import Diffusion
+
+ZIP = pathlib.Path("/root/reference/results/emnist.zip")
+
+pytestmark = pytest.mark.skipif(not ZIP.exists(),
+                                reason="reference artifacts not mounted")
+
+
+@pytest.fixture(scope="module")
+def emnist_ckpts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("emnist")
+    with zipfile.ZipFile(ZIP) as z:
+        z.extractall(root)
+    return root
+
+
+def _sample_ok(net, iters=3, s=28):
+    diff = Diffusion(net=net, prediction_goal="data", shape=(s, s)).eval()
+    out = np.asarray(diff.sample(n_iters=iters, only_last=True,
+                                 key=jax.random.PRNGKey(0)))
+    assert out.shape == (10, 1, s, s)
+    assert np.all(np.isfinite(out))
+    return out
+
+
+def test_import_qiddm_pl(emnist_ckpts):
+    p = next(emnist_ckpts.rglob("QIDDM_PL_noise=8_L=6_N=2_noise_22.pt"))
+    net = nn.QIDDM_PL_noise(784, 8, 6, 2, 0)
+    losses, epochs = load_reference_checkpoint(net, p)
+    assert epochs == 50 and len(losses) == 50
+    ck = torch.load(p, map_location="cpu", weights_only=False)
+    np.testing.assert_allclose(
+        np.asarray(net.params["qweights"]),
+        ck["model_state_dict"]["net.weights1"].numpy(), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(net.params["linear_up"]["kernel"]),
+        ck["model_state_dict"]["net.linear_up.weight"].numpy().T, atol=0)
+    _sample_ok(net)
+
+
+def test_import_qdense(emnist_ckpts):
+    p = next(emnist_ckpts.rglob(
+        "QDenseUndirected_old_noise60_w28_h28_noise0_noise_22.pt"))
+    net = nn.QDenseUndirected_old_noise(60, 28, 0)
+    load_reference_checkpoint(net, p)
+    out = _sample_ok(net)
+    # trained Qdense output should not be uniform noise: spatial structure
+    assert out.std() > 1e-4
+
+
+def test_import_qnn(emnist_ckpts):
+    p = next(emnist_ckpts.rglob(
+        "QNN_linear_features=8_qdepth=6_add_noise=0_noise_22.pt"))
+    net = nn.QNN(784, 8, 6)
+    load_reference_checkpoint(net, p)
+    _sample_ok(net)
+
+
+def test_import_differn(emnist_ckpts):
+    p = next(emnist_ckpts.rglob(
+        "differN_old_pca=15_N=2_w28_h28_noise0_noise_22.pt"))
+    net = nn.differN_old_pca(28, 15, 2)
+    load_reference_checkpoint(net, p)
+    _sample_ok(net)
+
+
+def test_import_unet(emnist_ckpts):
+    p = next(emnist_ckpts.rglob("unet_undirected_d3_s8_d0_noise_22.pt"))
+    net = nn.UNetUndirected(3, 8, 0, img_shape=(28, 28))
+    load_reference_checkpoint(net, p)
+    # batch stats must have been imported (not the fresh init zeros/ones)
+    bs = net.variables["batch_stats"]["down0"]["bn0"]
+    assert float(np.abs(np.asarray(bs["mean"])).max()) > 0
+    _sample_ok(net)
+
+
+def test_import_strict_rejects_unknown(emnist_ckpts):
+    p = next(emnist_ckpts.rglob("QNN_linear_features=8_qdepth=6_add_noise=0_noise_22.pt"))
+    net = nn.QDenseUndirected_old_noise(60, 28, 0)  # wrong model
+    with pytest.raises((ValueError, KeyError, TypeError, Exception)):
+        load_reference_checkpoint(net, p)
