@@ -8,8 +8,9 @@ import sys
 
 from . import common, noise_common
 
+# reference src/fashion_noise.py default model list
 DEFAULT_MODELS = [
-    ["QIDDM_LL_noise", "784", "6", "14", "2"],
+    ["QNN_noise", "784", "8", "6"],
 ]
 
 
@@ -28,6 +29,7 @@ def parse_args(argv):
 def main(argv=None):
     common.initial_log()
     args = parse_args(sys.argv[1:] if argv is None else argv)
+    args.label = 0  # reference main loop trains label 0 (src/*_noise.py:360)
     intensities = [0.1, 0.2, 0.3, 0.5, 0.8]
     return noise_common.run_noise_sweep(
         args, noise_types=range(1, 4), intensities=intensities)

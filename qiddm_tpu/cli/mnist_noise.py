@@ -9,9 +9,12 @@ import sys
 
 from . import common, noise_common
 
+# reference src/mnist_noise.py:38-52 default model list
 DEFAULT_MODELS = [
-    ["QIDDM_LL_noise", "64", "6", "14", "2"],
+    ["differN_noise", "8", "4", "2"],
     ["QDenseUndirected_old_noise", "60", "8"],
+    ["QIDDM_PL_noise", "64", "4", "2", "1"],
+    ["QNN_noise", "64", "4", "2"],
 ]
 
 
@@ -20,7 +23,7 @@ def parse_args(argv):
         "QDDM noise robustness (MNIST)",
         default_models=DEFAULT_MODELS, default_data="mnist_8x8",
         default_img_size=8, default_label=3, default_ds_size=500,
-        default_epochs=50, default_batch_size=1, default_tau=10,
+        default_epochs=30, default_batch_size=1, default_tau=10,
         with_noise_intensity=True,
         default_save_path="results/noise/mnist_",
         default_load_path="results/noise/mnist_")
@@ -30,6 +33,7 @@ def parse_args(argv):
 def main(argv=None):
     common.initial_log()
     args = parse_args(sys.argv[1:] if argv is None else argv)
+    args.label = 0  # reference main loop trains label 0 (src/*_noise.py:360)
     intensities = [0.01 * i for i in range(0, 10)]  # reference :441-444
     return noise_common.run_noise_sweep(
         args, noise_types=range(4, 5), intensities=intensities)
