@@ -110,6 +110,7 @@ def build_parser(description: str, *, default_models, default_data: str,
         args = orig_parse(argv, namespace)
         args.model = ([list(m) for m in args.model] if args.model
                       else [list(m) for m in default_models])
+        args.lr_cli = args.lr  # explicit --lr override, before per-model writes
         return args
 
     p.parse_args = parse_args
@@ -128,8 +129,11 @@ def validate_args(args) -> None:
 
 
 def model_lr(args, model_name: str) -> float:
-    if getattr(args, "lr", None):
-        return args.lr
+    # honor an explicit --lr from the CLI only; ``args.lr`` itself is
+    # overwritten per model by the drivers, so checking it directly would
+    # leak the first model's rate into every later model
+    if getattr(args, "lr_cli", None):
+        return args.lr_cli
     return getattr(args, f"{model_name}_lr", FALLBACK_LR)
 
 
@@ -220,7 +224,7 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
             seg = min(remaining, ckpt_every) if ckpt_every else remaining
             losses, wall = train_diffusion_scan(
                 diff, x_train, epochs=seg, batch_size=args.batch_size,
-                lr=args.lr, T=args.tau,
+                lr=args.lr, T=args.tau, warmup=False,
                 key=jax.random.PRNGKey(args.seed + done))
             loss_values = list(loss_values) + [float(v) for v in losses]
             done += seg
@@ -235,13 +239,15 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
 
 
 def test(diff, args, x_train, x_test, first_x, tau_test: int = 15,
-         save_images: bool = True):
+         save_images: bool = True, return_grid: bool = False, grid=None):
     """Reference test() (src/mnist_exm.py:206-291): sample, rescale, per-step
-    renormalize, dump PNGs, return (generated (iters,b,1,h,w), real)."""
+    renormalize, dump PNGs, return (generated (iters,b,1,h,w), real[, grid]).
+    ``grid`` short-circuits sampling with a cached sampler output."""
     print("Testing model")
     s = args.img_size
-    outp = diff.eval().sample(first_x=first_x, n_iters=tau_test,
-                              only_last=False)
+    outp = grid if grid is not None else diff.eval().sample(
+        first_x=first_x, n_iters=tau_test, only_last=False)
+    raw_grid = outp
     outp = jnp.clip(outp, 0.0, 1.0) * 255.0
     outp = np.asarray(jnp.clip(outp, 0.0, 255.0))
 
@@ -263,6 +269,8 @@ def test(diff, args, x_train, x_test, first_x, tau_test: int = 15,
 
     if save_images and args.save_path:
         _dump_images(args, x_train, gen, outp, diff)
+    if return_grid:
+        return gen, real, raw_grid
     return gen, real
 
 

@@ -32,7 +32,8 @@ def main(argv=None):
     args.label = 0  # reference main loop trains label 0 (src/*_noise.py:360)
     intensities = [0.1, 0.2, 0.3, 0.5, 0.8]
     return noise_common.run_noise_sweep(
-        args, noise_types=range(1, 4), intensities=intensities)
+        args, noise_types=range(1, 4), intensities=intensities,
+        gen_img_count=1, real_img_count=90)
 
 
 if __name__ == "__main__":

@@ -29,9 +29,14 @@ NOISE_TYPE_LABELS = {
 }
 
 
-def run_noise_sweep(args, *, noise_types, intensities, tau_test=None):
+def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
+                    gen_img_count=1, real_img_count=2):
     """Train clean once per model, then sweep (noise type x intensity) at
-    test time; returns {model: {type: {metric: [per-intensity]}}}."""
+    test time; returns {model: {type: {metric: [per-intensity]}}}.
+
+    Metric pair counts default to the mnist_noise reference scoring
+    (gen_img_count=1, real_img_count=2, src/mnist_noise.py:513-526);
+    fashion_noise passes (1, 90)."""
     if tau_test is None:
         tau_test = args.tau * 2
     common.validate_args(args)
@@ -74,6 +79,9 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None):
         for intensity in intensities:
             print(f"\nTest for add_noise: {add_noise}, intensity {intensity}")
             args.save_path = noise_save_path + str(add_noise)
+            # sampler caches live under noise_<type> (the reference switches
+            # load_path around test(), src/mnist_noise.py:502-504)
+            args.load_path = noise_load_path + str(add_noise)
             generated_dict, real_dict = {}, {}
             for model_args in args.model:
                 model_name = model_args[0]
@@ -91,11 +99,10 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None):
                     generated, real = _postprocess(outp, args, x_test,
                                                    tau_test)
                 else:
-                    generated, real = common.test(
+                    generated, real, grid = common.test(
                         diff, args, x_train, x_test, first_x,
-                        tau_test=tau_test, save_images=False)
-                    grid = diff.eval().sample(first_x=first_x,
-                                              n_iters=tau_test)
+                        tau_test=tau_test, save_images=False,
+                        return_grid=True)
                     common.save_outp(diff, args, grid, intensity)
                 key = f"{diff.save_name()}_{add_noise}_{intensity}"
                 generated_dict[key] = generated
@@ -103,13 +110,13 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None):
 
                 r = results[model_name][add_noise]
                 r["ssim"].append(float(metrics.ssim_iterations(
-                    generated, real, 5, 80)[-1]))
+                    generated, real, gen_img_count, real_img_count)[-1]))
                 r["psnr"].append(float(metrics.psnr_iterations(
-                    generated, real, 5, 80)[-1]))
+                    generated, real, gen_img_count, real_img_count)[-1]))
                 r["cos"].append(float(metrics.cosine_iterations(
-                    generated, real, 5, 80)[-1]))
+                    generated, real, gen_img_count, real_img_count)[-1]))
                 r["fid"].append(float(metrics.fid_iterations(
-                    generated, real, 5, 80)[-1]))
+                    generated, real, gen_img_count, real_img_count)[-1]))
 
         # metric-vs-intensity plots (reference src/mnist_noise.py:537-540)
         xlabel = NOISE_TYPE_LABELS.get(add_noise, "noise intensity")

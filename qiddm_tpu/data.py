@@ -242,7 +242,10 @@ def _face_like(name, side, label_or_classes, ds_size):
     return imgs, labels
 
 
-def celeba_32x32(label=1, ds_size=10000):
+def celeba_32x32(label=1, ds_size=10000, n_classes=None):
+    """Reference signature is (label) only (src/data.py:74) — which its own
+    drivers cannot call; ``n_classes`` is accepted and ignored so the
+    registry/driver convention works."""
     imgs, labels = _face_like("celeba", 32, label, ds_size)
     mask = labels == label
     if mask.sum() == 0:
@@ -251,7 +254,7 @@ def celeba_32x32(label=1, ds_size=10000):
     return imgs.reshape(len(imgs), -1), labels.astype(np.int64), 32, 32
 
 
-def celeba_64x64(label=1, ds_size=10000):
+def celeba_64x64(label=1, ds_size=10000, n_classes=None):
     imgs, labels = _face_like("celeba", 64, label, ds_size)
     mask = labels == label
     if mask.sum() == 0:

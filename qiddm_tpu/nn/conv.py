@@ -86,8 +86,8 @@ class _DirectedConvShim(DenoiserShim):
                 jax.random.PRNGKey(seed), dummy_x, dummy_y)
 
     def __call__(self, x, y=None, train: bool = False):
-        return self.module.apply(self.variables, jnp.asarray(x), y,
-                                 train=train, mutable=False)
+        return self._jitted_apply_directed(train)(
+            self.variables, jnp.asarray(x), np.asarray(y))
 
 
 class DeepConvDirectedMulti(_DirectedConvShim):

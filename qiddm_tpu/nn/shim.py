@@ -94,6 +94,17 @@ class DenoiserShim:
         # jit (cached): the axon TPU backend cannot execute ops eagerly
         return self._jitted_apply(train)(self.variables, jnp.asarray(x))
 
+    def _jitted_apply_directed(self, train: bool):
+        cache = getattr(self, "_apply_cache_dir", None)
+        if cache is None:
+            cache = self._apply_cache_dir = {}
+        if train not in cache:
+            module = self.module
+            cache[train] = jax.jit(
+                lambda v, x, y: module.apply(v, x, y, train=train,
+                                             mutable=False))
+        return cache[train]
+
     def forward(self, x):
         return self(x)
 

@@ -261,9 +261,10 @@ class UnetDirected(DenoiserShim):
 
     def __call__(self, x, y=None, train: bool = False):
         import jax.numpy as _jnp
+        import numpy as _np
 
-        return self.module.apply(self.variables, _jnp.asarray(x), y,
-                                 train=train, mutable=False)
+        return self._jitted_apply_directed(train)(
+            self.variables, _jnp.asarray(x), _np.asarray(y))
 
 
 class UNetUndirectedS(DenoiserShim):

@@ -194,9 +194,10 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         # Strategy ladder:
         # * batch >= dim: compose each block into one unitary (MXU matmuls,
         #   O(k d^3) amortized over a big batch);
-        # * batch < dim, d <= 256, TPU: fused unitary-streaming Pallas kernel;
-        # * batch < dim, d > 256, TPU+CZ: gate-level Pallas kernel — never
-        #   materializes a unitary (O(L k w B d) elementwise work);
+        # * batch < dim, TPU, CZ ring + RZ encode (every QIDDM/differN
+        #   config): gate-level Pallas kernel — never materializes a
+        #   unitary (O(L k w B d) elementwise work; beats the
+        #   unitary-streaming kernel at every dim, see pallas_kernels.py);
         # * otherwise: per-layer unitaries applied by lax.scan.
         compose = batch >= dim
         on_tpu = jax.default_backend() == "tpu"
@@ -239,26 +240,13 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
 
             states, _ = jax.lax.scan(body, states, us)
         else:
-            from .. import config as _config
+            def body(states, us_l):  # us_l: (k, d, d)
+                states = encode_states(states)
+                for li in range(k):
+                    states = apply_unitary(states, us_l[li])
+                return states, None
 
-            use_pallas = (
-                _config.use_pallas()
-                and encode in ("rz", "rz_halfpi")
-                and dim <= 256
-                and jax.default_backend() == "tpu"
-            )
-            if use_pallas:
-                from .pallas_kernels import reupload_chain_pallas
-
-                states = reupload_chain_pallas(phases, lus, k).astype(cdtype)
-            else:
-                def body(states, us_l):  # us_l: (k, d, d)
-                    states = encode_states(states)
-                    for li in range(k):
-                        states = apply_unitary(states, us_l[li])
-                    return states, None
-
-                states, _ = jax.lax.scan(body, states, lus)
+            states, _ = jax.lax.scan(body, states, lus)
         if readout == "probs":
             return probs(states)
         return expval_z(states)

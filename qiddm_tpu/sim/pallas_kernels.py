@@ -14,9 +14,10 @@ reverse, reconstructing intermediate states via the UNITARY INVERSE
 (s = s' @ conj(U)) instead of stashing residuals — zero extra memory, exact
 gradients.
 
-Used automatically by ``engine.reupload_block`` for statevector circuits
-with RZ-style encodings when d <= MAX_FUSED_DIM on TPU; the jnp path remains
-the fallback (and the CPU/interpret test target).
+Kept as a validated alternative implementation: the gate-level kernel
+(pallas_gate_kernel.py) measured faster at every dim and is what
+``engine.reupload_block`` uses; this unitary-streaming kernel remains for
+CNOT-ring chains and as a cross-check (CPU/interpret test target).
 """
 
 from __future__ import annotations

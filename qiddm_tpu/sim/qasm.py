@@ -53,16 +53,22 @@ def circuit_to_qasm(weights, wires: int, inp) -> str:
         if wires > 1:
             for j in range(wires):
                 lines.append(f"cx q[{j}],q[{(j + ranges[l]) % wires}];")
+    # barrier before measurement (as qiskit emits): repeat_qasm's slice
+    # arithmetic (body = lines[4:-wires-1]) counts on exactly one line
+    # between the last gate and the measures
+    lines.append("barrier q;")
     for j in range(wires):
         lines.append(f"measure q[{j}] -> c[{j}];")
-    return "\n".join(lines) + "\n"
+    return "\n".join(lines)
 
 
 def repeat_qasm(qasm: str, wires: int, ancilla: bool, reps: int) -> str:
     """Splice the circuit body ``reps`` times (reference nn/utils.py:93-111):
     keep the 4 header lines and the trailing measurement lines, optionally
     reset the last wire before each repetition."""
-    qasm_ = qasm.split("\n")
+    qasm_ = [l for l in qasm.split("\n")]
+    while qasm_ and not qasm_[-1].strip():
+        qasm_.pop()  # robust to trailing blank lines
     header = "\n".join(qasm_[0:4])
     measurements = "\n".join(qasm_[-wires:])
     body = qasm_[4: -wires - 1]

@@ -54,11 +54,14 @@ def train_diffusion(diff, x_train, *, epochs: int, batch_size: int, lr: float,
 
 
 def train_diffusion_scan(diff, x_train, *, epochs: int, batch_size: int,
-                         lr: float, T: int, key=None, mesh=None):
-    """Fully-compiled variant: ALL epochs inside one scan (benchmark path).
+                         lr: float, T: int, key=None, mesh=None,
+                         warmup: bool = True):
+    """Fully-compiled variant: ALL epochs inside one scan.
 
-    Returns (per-epoch loss array, wall-time seconds excluding compile).
-    With ``mesh``, the compute batch is sharded over the mesh's data axis.
+    ``warmup=True`` (benchmark mode) runs the program once to compile, then
+    times a second identical run — wall excludes compile but the device
+    trains twice. Drivers pass ``warmup=False``: one run, wall includes
+    compile. With ``mesh``, the compute batch shards over the data axis.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -73,10 +76,11 @@ def train_diffusion_scan(diff, x_train, *, epochs: int, batch_size: int,
     run_j = diff.make_multi_epoch_fn(optimizer, T, batch_size, epochs,
                                      mesh=mesh)
 
-    # compile + warm run (fetch to host: on the axon backend
-    # block_until_ready does not reliably synchronize)
-    out = run_j(params, opt_state, extra_vars, key, x_train, n_train)
-    np.asarray(out[3])
+    if warmup:
+        # compile + warm run (fetch to host: on the axon backend
+        # block_until_ready does not reliably synchronize)
+        out = run_j(params, opt_state, extra_vars, key, x_train, n_train)
+        np.asarray(out[3])
     t0 = time.time()
     params, opt_state, extra_vars, epoch_losses = run_j(
         params, opt_state, extra_vars, key, x_train, n_train)

@@ -161,3 +161,47 @@ def test_checkpoint_every(tmp_path, monkeypatch):
     common.run_labels(args, labels=[4], tau_test=3)
     ckpts = list(pathlib.Path(tmp_path).rglob("*_4.pt"))
     assert ckpts
+
+
+def test_per_model_lr_not_leaked():
+    """Each model must get ITS OWN default lr; a previous model's assignment
+    to args.lr must not leak (reference resolves per model,
+    src/mnist_exm.py:438)."""
+    from qiddm_tpu.cli import mnist_exm
+
+    args = mnist_exm.parse_args([])
+    lr1 = common.model_lr(args, "QIDDM_LL_noise")
+    args.lr = lr1  # drivers do this
+    lr2 = common.model_lr(args, "QNN_noise")
+    assert lr1 == 0.0255 and lr2 == 0.01011
+    # explicit --lr overrides everything
+    args2 = mnist_exm.parse_args(["--lr", "0.5"])
+    assert common.model_lr(args2, "QNN_noise") == 0.5
+    args2.lr = 0.123
+    assert common.model_lr(args2, "QIDDM_LL_noise") == 0.5
+
+
+def test_noise_sweep_cache_roundtrip(tmp_path, monkeypatch, capsys):
+    """Second sweep run must HIT the sampler-output cache (it used to look
+    under noise_0 while writing under noise_<type>)."""
+    from qiddm_tpu.cli import mnist_noise
+    from qiddm_tpu.cli.noise_common import run_noise_sweep
+
+    monkeypatch.chdir(tmp_path)
+    argv = ["--data", "mnist_8x8", "--img_size", "8",
+            "--model", "QIDDM_LL_noise", "64", "4", "2", "1",
+            "--ds-size", "120", "--epochs", "1", "--batch_size", "8",
+            "--tau", "2",
+            "--save-path", str(tmp_path) + "/n_",
+            "--load-path", str(tmp_path) + "/n_"]
+    args = mnist_noise.parse_args(argv)
+    args.label = 0
+    run_noise_sweep(args, noise_types=[2], intensities=[0.05], tau_test=3)
+    capsys.readouterr()
+    args2 = mnist_noise.parse_args(argv)
+    args2.label = 0
+    res = run_noise_sweep(args2, noise_types=[2], intensities=[0.05],
+                          tau_test=3)
+    out = capsys.readouterr().out
+    assert "outp loaded successfully" in out
+    assert np.isfinite(res["QIDDM_LL_noise"][2]["ssim"][0])
