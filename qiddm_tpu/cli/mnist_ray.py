@@ -74,7 +74,7 @@ def main(argv=None):
             lrs=group_lrs, x_train=x_train, shape=(h, w),
             epochs=args.epochs, batch_size=args.batch_size, T=args.tau,
             local_dir=args.local_dir, exp_name=f"{args.exp_name}_L{L}",
-            seed=args.seed, sample_iters=15,
+            seed=args.seed, sample_iters=5,
             rungs=[0.5] if args.halving else None,
         )
         for i, lr in enumerate(group_lrs):

@@ -65,11 +65,19 @@ class Diffusion:
         return jax.tree_util.tree_leaves(self.net.params)
 
     # --- functional pieces (jit-friendly) ----------------------------------
-    def loss_fn(self, params, extra_vars, key, x_flat, T: int):
-        """One training-step loss on a flat image batch ``(B, pixels)``.
+    def _chain_loss(self, params, extra_vars, key, x_flat, T: int, *,
+                    valid=None, mesh=None):
+        """The tau-chain training loss shared by every train path.
 
-        Returns (loss, (per_elem_loss, recon, new_mutable_vars)).
+        Builds the noisy chain, pairs step t+1 -> t, runs the denoiser on
+        the expanded batch, and takes the MSE for the active goal
+        (reference src/models.py:44-104). With ``valid`` (a per-row 0/1
+        vector), padded rows get zero weight and the mean normalizes by the
+        real count (the dropless final-partial-batch scheme). Returns
+        (loss, (per_elem, recon, new_mutable_vars)).
         """
+        from .parallel.mesh import dp_constraint
+
         tau = T + 1
         chain = self.add_noise(key, x_flat, tau, 3.0)  # (B*tau, P) batch-major
         c = rearrange(chain, "(b t) p -> b t p", t=tau)
@@ -77,6 +85,8 @@ class Diffusion:
                           w=self.width, h=self.height)
         clean = rearrange(c[:, :-1, :], "b t (w h) -> (b t) 1 w h",
                           w=self.width, h=self.height)
+        noisy = dp_constraint(noisy, mesh)
+        clean = dp_constraint(clean, mesh)
         variables = {"params": params, **extra_vars}
         mutable = self.net.mutable_collections
         out = self.net.module.apply(variables, noisy, train=True,
@@ -88,7 +98,20 @@ class Diffusion:
             pred_noise = (recon - 0.5) * 0.1
             real_noise = noisy - clean
             per_elem = (pred_noise - real_noise) ** 2
-        return per_elem.mean(), (per_elem, recon, new_vars)
+        if valid is None:
+            loss = per_elem.mean()
+        else:
+            wgt = jnp.repeat(valid, tau - 1)[:, None, None, None]
+            denom = jnp.maximum(valid.sum(), 1.0) * (tau - 1) *                 per_elem[0].size
+            loss = (per_elem * wgt).sum() / denom
+        return loss, (per_elem, recon, new_vars)
+
+    def loss_fn(self, params, extra_vars, key, x_flat, T: int):
+        """One training-step loss on a flat image batch ``(B, pixels)``.
+
+        Returns (loss, (per_elem_loss, recon, new_mutable_vars)).
+        """
+        return self._chain_loss(params, extra_vars, key, x_flat, T)
 
     def make_train_step(self, optimizer, T: int):
         """Jitted (params, opt_state, extra_vars, key, x_flat) -> updated."""
@@ -104,67 +127,12 @@ class Diffusion:
 
         return step
 
-    def make_epoch_fn(self, optimizer, T: int, batch_size: int):
-        """One FULL epoch as a single jitted program.
-
-        Shuffles with a dropless scheme: indices are padded to a multiple of
-        ``batch_size`` with -1 and padded rows get zero loss-weight, matching
-        the reference's final-partial-batch behavior (torch DataLoader with
-        drop_last=False, src/mnist_exm.py:404-408).
-        """
-        net = self.net
-
-        @functools.partial(jax.jit, static_argnames=("n_train",))
-        def epoch(params, opt_state, extra_vars, key, x_train, n_train: int):
-            n_batches = -(-n_train // batch_size)
-            pad = n_batches * batch_size - n_train
-            perm_key, noise_key = jax.random.split(key)
-            perm = jax.random.permutation(perm_key, n_train)
-            perm = jnp.concatenate(
-                [perm, jnp.full((pad,), -1, dtype=perm.dtype)])
-            batches = perm.reshape(n_batches, batch_size)
-            noise_keys = jax.random.split(noise_key, n_batches)
-
-            def body(carry, inp):
-                params, opt_state, extra_vars = carry
-                idx, nk = inp
-                valid = (idx >= 0).astype(x_train.dtype)  # (bs,)
-                xb = x_train[jnp.maximum(idx, 0)]         # (bs, P)
-
-                def loss_fn(params):
-                    tau = T + 1
-                    chain = self.add_noise(nk, xb, tau, 3.0)
-                    c = rearrange(chain, "(b t) p -> b t p", t=tau)
-                    noisy = rearrange(c[:, 1:, :], "b t (w h) -> (b t) 1 w h",
-                                      w=self.width, h=self.height)
-                    clean = rearrange(c[:, :-1, :], "b t (w h) -> (b t) 1 w h",
-                                      w=self.width, h=self.height)
-                    variables = {"params": params, **extra_vars}
-                    mutable = net.mutable_collections
-                    out = net.module.apply(variables, noisy, train=True,
-                                           mutable=mutable)
-                    recon, new_vars = out if mutable else (out, {})
-                    if self.prediction_goal == "data":
-                        per = (recon - clean) ** 2
-                    else:
-                        per = ((recon - 0.5) * 0.1 - (noisy - clean)) ** 2
-                    # zero out padded rows; normalize by the real count
-                    wgt = jnp.repeat(valid, tau - 1)[:, None, None, None]
-                    denom = jnp.maximum(valid.sum(), 1.0) * (
-                        per.shape[0] // batch_size) * per[0].size
-                    return (per * wgt).sum() / denom, new_vars
-
-                (loss, new_vars), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, {**extra_vars, **new_vars}), loss
-
-            (params, opt_state, extra_vars), losses = jax.lax.scan(
-                body, (params, opt_state, extra_vars), (batches, noise_keys))
-            return params, opt_state, extra_vars, losses
-
-        return epoch
+    def make_epoch_fn(self, optimizer, T: int, batch_size: int, mesh=None):
+        """One FULL epoch as a single jitted program (delegates to
+        ``make_multi_epoch_fn`` with epochs=1; see it for semantics).
+        Returns per-epoch summed losses of shape (1,)."""
+        return self.make_multi_epoch_fn(optimizer, T, batch_size, 1,
+                                        mesh=mesh)
 
     def make_multi_epoch_fn(self, optimizer, T: int, batch_size: int,
                             epochs: int, mesh=None):
@@ -179,9 +147,6 @@ class Diffusion:
         SPMD partitioner inserts the gradient reductions over ICI. The
         expanded batch ``batch_size * T`` should divide the data-axis size.
         """
-        net = self.net
-        from .parallel.mesh import dp_constraint
-
         @functools.partial(jax.jit, static_argnames=("n_train",))
         def run(params, opt_state, extra_vars, key, x_train, n_train: int):
             n_batches = -(-n_train // batch_size)
@@ -206,28 +171,10 @@ class Diffusion:
                 xb = x_train[jnp.maximum(idx, 0)]
 
                 def loss_fn(params):
-                    tau = T + 1
-                    chain = self.add_noise(nk, xb, tau, 3.0)
-                    c = rearrange(chain, "(b t) p -> b t p", t=tau)
-                    noisy = rearrange(c[:, 1:, :], "b t (w h) -> (b t) 1 w h",
-                                      w=self.width, h=self.height)
-                    clean = rearrange(c[:, :-1, :], "b t (w h) -> (b t) 1 w h",
-                                      w=self.width, h=self.height)
-                    noisy = dp_constraint(noisy, mesh)
-                    clean = dp_constraint(clean, mesh)
-                    variables = {"params": params, **extra_vars}
-                    mutable = net.mutable_collections
-                    out = net.module.apply(variables, noisy, train=True,
-                                           mutable=mutable)
-                    recon, new_vars = out if mutable else (out, {})
-                    if self.prediction_goal == "data":
-                        per = (recon - clean) ** 2
-                    else:
-                        per = ((recon - 0.5) * 0.1 - (noisy - clean)) ** 2
-                    wgt = jnp.repeat(valid, tau - 1)[:, None, None, None]
-                    denom = jnp.maximum(valid.sum(), 1.0) * (
-                        per.shape[0] // batch_size) * per[0].size
-                    return (per * wgt).sum() / denom, new_vars
+                    loss, (_, _, new_vars) = self._chain_loss(
+                        params, extra_vars, nk, xb, T, valid=valid,
+                        mesh=mesh)
+                    return loss, new_vars
 
                 (loss, new_vars), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)

@@ -118,12 +118,16 @@ def _needs_dm(noise: Optional[NoiseModel]) -> bool:
 
 def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
                    weight_map: str = "qw_tanh", imprimitive: str = "cnot",
-                   noise: Optional[NoiseModel] = None, cdtype=jnp.complex64):
+                   noise: Optional[NoiseModel] = None, cdtype=None):
     """AmplitudeEmbedding -> SEL -> (noise) -> probs.
 
     x: (batch, n_features); weights: (depth, wires, 3). Returns (batch, 2**w)
     probabilities. Reference: nn/qdense.py:40-47 / :95-105.
     """
+    if cdtype is None:
+        from .. import config as _cfg
+
+        cdtype = _cfg.complex_dtype()
     if x.shape[-1] > 2**wires:
         raise ValueError(
             f"{x.shape[-1]} features do not fit in {wires} wires"
@@ -172,7 +176,7 @@ def _encode_angles(x, encode: str, noise: Optional[NoiseModel]):
 def reupload_block(x_enc, block_weights, *, encode: str = "rz",
                    imprimitive: str = "cz",
                    noise: Optional[NoiseModel] = None,
-                   readout: str = "probs", cdtype=jnp.complex64):
+                   readout: str = "probs", cdtype=None):
     """One N-block: L x (encode -> SEL(k)) -> readout.
 
     x_enc: (batch, wires) encoding angles (re-uploaded in every spectrum
@@ -183,6 +187,10 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
 
     from .sel import sel_layer_unitaries, sel_unitaries
 
+    if cdtype is None:
+        from .. import config as _cfg
+
+        cdtype = _cfg.complex_dtype()
     L, k, wires, _ = block_weights.shape
     batch = x_enc.shape[0]
     dim = 2**wires
@@ -204,6 +212,7 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         use_gate_kernel = (
             not compose and _config.use_pallas() and on_tpu
             and encode in ("rz", "rz_halfpi") and imprimitive == "cz"
+            and cdtype == jnp.complex64  # kernels carry float32 planes
         )
         if use_gate_kernel:
             from .gates import rot_matrix
@@ -301,7 +310,7 @@ def _apply_1q_batched_unitary(rho, gate, wire: int, wires: int):
 
 def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
                 weight_map: str = "none", noise: Optional[NoiseModel] = None,
-                readout: str = "expvalz", cdtype=jnp.complex64):
+                readout: str = "expvalz", cdtype=None):
     """Single encode -> SEL(depth) -> readout.
 
     x: (batch, wires); weights: (depth, wires, 3).
@@ -311,6 +320,10 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
     QNN circuit output is therefore input-independent; the surrounding
     linear layers do the learning). This implementation reproduces that.
     """
+    if cdtype is None:
+        from .. import config as _cfg
+
+        cdtype = _cfg.complex_dtype()
     wires = x.shape[-1]
     w = WEIGHT_MAPS[weight_map](weights)
     u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)

@@ -43,9 +43,15 @@ def parameter_shift_grad(circuit_fn, weights, chunk: int = 0):
         return circuit_fn(w)
 
     if chunk and chunk < 2 * P:
+        total = 2 * P
+        pad = (-total) % chunk
+        if pad:
+            both = jnp.concatenate(
+                [both, jnp.broadcast_to(both[-1:],
+                                        (pad,) + weights.shape)], axis=0)
         outs = jax.lax.map(jax.vmap(eval_one),
                            both.reshape(-1, chunk, *weights.shape))
-        outs = outs.reshape(2 * P)
+        outs = outs.reshape(-1)[:total]
     else:
         outs = jax.vmap(eval_one)(both)
     grads = (outs[:P] - outs[P:]) / 2.0

@@ -162,19 +162,25 @@ def __run_segment(wires, gate_ops, init_state):
 
 
 def _project_zero(state, wires: int, wire: int):
+    """Deterministic reset: collapse to the |0> branch when it has weight,
+    otherwise the wire was (almost) surely |1> — measurement yields 1 and the
+    reset flips it, i.e. the |1>-branch amplitudes move to the |0> slots."""
     if state is None:
         state = np.zeros(2**wires, complex)
         state[0] = 1.0
         return state
     bit = 1 << (wires - 1 - wire)
     idx = np.arange(2**wires)
-    state = np.where(idx & bit, 0.0, state)
-    n = np.linalg.norm(state)
-    if n < 1e-12:  # wire was deterministically |1>: flip it instead
-        state = np.zeros_like(state)
-    else:
-        state = state / n
-    return state
+    is1 = (idx & bit).astype(bool)
+    s0 = np.where(is1, 0.0, state)
+    p0 = float(np.sum(np.abs(s0) ** 2))
+    if p0 > 1e-12:
+        return s0 / np.sqrt(p0)
+    moved = np.zeros_like(state)
+    zero_slots = idx[~is1]
+    moved[zero_slots] = state[zero_slots | bit]
+    n = np.linalg.norm(moved)
+    return moved / max(n, 1e-300)
 
 
 def sample_from_qasm(qasm_str: str, shots: Optional[int] = None,

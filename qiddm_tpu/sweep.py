@@ -53,7 +53,7 @@ class SweepResult:
 
 def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
              x_train, *, shape, epochs: int, batch_size: int, T: int,
-             prediction_goal: str = "data", first_x=None, sample_iters: int = 15,
+             prediction_goal: str = "data", first_x=None, sample_iters: int = 5,
              real_for_ssim=None, seed: int = 0, local_dir: Optional[str] = None,
              exp_name: str = "sweep", mesh=None,
              rungs: Optional[List[float]] = None) -> SweepResult:
@@ -92,8 +92,9 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
         hyperparams={**opt_state.hyperparams, "learning_rate": lrs_arr})
 
     if first_x is None:
+        # 15 starting images, the reference sweep's shape (src/mnist_ray.py:132)
         first_x = jax.random.uniform(
-            jax.random.PRNGKey(seed + 7), (10, 1, h, w)) * 0.75 + 0.5
+            jax.random.PRNGKey(seed + 7), (15, 1, h, w)) * 0.75 + 0.5
 
     rung_epochs = _rung_plan(epochs, rungs)
     alive = np.arange(n_trials)
@@ -171,18 +172,27 @@ def _rung_plan(epochs: int, rungs: Optional[List[float]]):
 
 def _score_ssim(diff, module, params, extra, first_x, sample_iters,
                 real_for_ssim, x_train, shape):
+    """The reference sweep's selection metric (src/mnist_ray.py:156-192):
+    clamp samples to [0, 1], scale to [0, 255]; min-max-normalize real
+    images per image and scale to [0, 255]; SSIM of ONE generated image vs
+    the first real image, last denoise iteration."""
     h, w = shape
     real = real_for_ssim if real_for_ssim is not None else x_train[:20]
-    real = jnp.asarray(np.asarray(real)).reshape(-1, 1, h, w)
+    real = np.asarray(real).reshape(-1, 1, h, w).astype(np.float32)
+    rmin = real.reshape(len(real), -1).min(1)[:, None, None, None]
+    rmax = real.reshape(len(real), -1).max(1)[:, None, None, None]
+    real = np.clip((real - rmin) / (rmax - rmin + 1e-7) * 255.0, 0.0, 255.0)
 
     def one(p, e):
         variables = {"params": p, **e}
-        return diff.sample_stack_fn(variables, first_x, sample_iters)
+        stack = diff.sample_stack_fn(variables, first_x, sample_iters)
+        return jnp.clip(jnp.clip(stack, 0.0, 1.0) * 255.0, 0.0, 255.0)
 
     stacks = jax.jit(jax.vmap(one))(params, extra)  # (trials, iters+1, b,1,h,w)
     out = []
     for t in range(stacks.shape[0]):
-        vals = metrics.get_ssim_single(np.asarray(stacks[t]), np.asarray(real))
+        vals = metrics.get_ssim_single(np.asarray(stacks[t]), real,
+                                       gen_img_count=1)
         out.append(vals[-1])
     return np.asarray(out, np.float32)
 
