@@ -93,6 +93,12 @@ def import_torch_state_dict(net, state_dict, strict: bool = True):
             dst["bias"] = take(f"{prefix}.bias").astype(dst["bias"].dtype)
 
     def set_conv(dst, prefix):
+        if "qweights" in dst:
+            # quantum conv: torch QConv2d stores one SEL weight tensor
+            dst["qweights"] = take(f"{prefix}.weights").astype(
+                dst["qweights"].dtype)
+            return
+        dst = dst["Conv_0"] if "Conv_0" in dst else dst
         # torch OIHW -> flax HWIO
         dst["kernel"] = take(f"{prefix}.weight").transpose(2, 3, 1, 0).astype(
             dst["kernel"].dtype)
@@ -117,7 +123,7 @@ def import_torch_state_dict(net, state_dict, strict: bool = True):
     if "linear_up.weight" in sd and "linear_up" in params:
         set_linear(params["linear_up"], "linear_up")
     if "conv_layer.weight" in sd and "conv_down" in params:
-        set_conv(params["conv_down"]["Conv_0"], "conv_layer")
+        set_conv(params["conv_down"], "conv_layer")
     for bn_src, bn_dst in (("batchnorm", "bn"), ("batch_norm", "pca_bn")):
         if f"{bn_src}.weight" in sd and bn_dst in params:
             set_bn(params[bn_dst], stats[bn_dst], bn_src)
@@ -130,20 +136,20 @@ def import_torch_state_dict(net, state_dict, strict: bool = True):
         if name.startswith("down"):
             i = name[4:]
             blk = f"down_blocks.{i}.net"
-            set_conv(params[name]["conv0"]["Conv_0"], f"{blk}.0")
+            set_conv(params[name]["conv0"], f"{blk}.0")
             set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.1")
-            set_conv(params[name]["conv1"]["Conv_0"], f"{blk}.3")
+            set_conv(params[name]["conv1"], f"{blk}.3")
             set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.4")
         elif name.startswith("up") and name != "up_conv":
             i = name[2:]
             blk = f"up_blocks.{i}"
-            set_conv(params[name]["up_conv"]["Conv_0"], f"{blk}.up_conv.1")
-            set_conv(params[name]["conv0"]["Conv_0"], f"{blk}.net.0")
+            set_conv(params[name]["up_conv"], f"{blk}.up_conv.1")
+            set_conv(params[name]["conv0"], f"{blk}.net.0")
             set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.net.2")
-            set_conv(params[name]["conv1"]["Conv_0"], f"{blk}.net.3")
+            set_conv(params[name]["conv1"], f"{blk}.net.3")
             set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.net.4")
         elif name == "final_conv":
-            set_conv(params[name]["Conv_0"], "final_conv")
+            set_conv(params[name], "final_conv")
 
     leftover = set(sd) - consumed
     if strict and leftover:

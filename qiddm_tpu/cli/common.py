@@ -137,16 +137,27 @@ def model_lr(args, model_name: str) -> float:
     return getattr(args, f"{model_name}_lr", FALLBACK_LR)
 
 
-def build_model(model_args: Sequence, seed: int = 0):
+def build_model(model_args: Sequence, seed: int = 0, init_batch=None):
     """Instantiate a registered model from a ['Name', arg, ...] list
-    (the reference evals ``nn.<name>(*params)``, src/mnist_exm.py:419-424)."""
+    (the reference evals ``nn.<name>(*params)``, src/mnist_exm.py:419-424).
+
+    ``init_batch`` (real training images, (b, 1, h, w)) reaches models whose
+    initialization depends on data — the lazily-fitted-PCA family must fit
+    on REAL data like the reference (nn/qdense.py:1807-1810)."""
+    import inspect
+
     name = model_args[0]
     if name not in MODEL_REGISTRY:
         raise SystemExit(f"unknown model {name!r}; available: "
                          + ", ".join(sorted(MODEL_REGISTRY)))
     params = [int(a) if isinstance(a, str) and a.isdigit() else a
               for a in model_args[1:]]
-    return MODEL_REGISTRY[name](*params, seed=seed)
+    ctor = MODEL_REGISTRY[name]
+    kwargs = {"seed": seed}
+    if (init_batch is not None
+            and "init_batch" in inspect.signature(ctor.__init__).parameters):
+        kwargs["init_batch"] = init_batch
+    return ctor(*params, **kwargs)
 
 
 def load_dataset(args):
@@ -380,6 +391,15 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15):
             return diff.sample_stack_fn({"params": p, **e}, first_x, tau_test)
 
         stacks = np.asarray(jax.jit(jax.vmap(one_sample))(params, extra))
+        # reference scoring protocol (same as test()): clamp+rescale samples,
+        # per-step min-max normalize; per-image normalize reals
+        stacks = np.clip(np.clip(stacks, 0.0, 1.0) * 255.0, 0.0, 255.0)
+        for t in range(stacks.shape[0]):
+            for step in range(stacks.shape[1]):
+                g = stacks[t, step]
+                gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
+                gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
+                stacks[t, step] = (g - gmin) / (gmax - gmin + 1e-7)
 
         scores = {"ssim": [], "psnr": [], "cos": []}
         for i, label in enumerate(labels):
@@ -391,7 +411,10 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15):
 
             save_checkpoint(sp / f"{diff.save_name()}_{label}.pt", var_i,
                             [float(v) for v in losses[i]], args.epochs)
-            real = x_test[i].reshape(-1, 1, height, width)
+            real = x_test[i].reshape(-1, 1, height, width).astype(np.float32)
+            rmin = real.reshape(len(real), -1).min(1)[:, None, None, None]
+            rmax = real.reshape(len(real), -1).max(1)[:, None, None, None]
+            real = (real - rmin) / (rmax - rmin + 1e-7)
             gen = stacks[i]
             s = metrics.ssim_iterations(gen, real, 5, 80)
             p_ = metrics.psnr_iterations(gen, real, 5, 80)
@@ -414,8 +437,16 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
     if getattr(args, "vmap_labels", False):
         return run_labels_vmapped(args, labels, tau_test=tau_test)
     original_save, original_load = args.save_path, args.load_path
+
+    def model_key(i, margs):
+        # positional keys: --model may list the same name twice with
+        # different parameters
+        return f"{margs[0]}" if [m[0] for m in args.model].count(
+            margs[0]) == 1 else f"{margs[0]}#{i}"
+
     all_scores: Dict[str, Dict[str, list]] = {
-        m[0]: {"ssim": [], "psnr": [], "cos": []} for m in args.model}
+        model_key(i, m): {"ssim": [], "psnr": [], "cos": []}
+        for i, m in enumerate(args.model)}
 
     for label in labels:
         args.label = label
@@ -454,10 +485,12 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
             generated_dict, real_dict, loss_dict = {}, {}, {}
             model_name = model_params = None
 
-            for model_args in args.model:
+            init_batch = x_train[:32].reshape(-1, 1, height, width)
+            for mi, model_args in enumerate(args.model):
                 model_name = model_args[0]
                 model_params = model_args[1:]
-                net = build_model(model_args, seed=args.seed)
+                net = build_model(model_args, seed=args.seed,
+                                  init_batch=init_batch)
                 args.lr_current = args.lr = model_lr(args, model_name)
                 print(f"Initialized {model_name} with parameters "
                       f"{model_params}, with {args.lr}")
@@ -476,8 +509,9 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
 
                 generated, real = test(diff, args, x_train, x_test, first_x,
                                        tau_test=tau_test)
-                generated_dict[diff.save_name()] = generated
-                real_dict[diff.save_name()] = real
+                dict_key = f"{diff.save_name()}#{mi}"
+                generated_dict[dict_key] = generated
+                real_dict[dict_key] = real
 
             metrics.show_metrics(loss_dict, "LOSS", args,
                                  model_name=model_name,
@@ -493,6 +527,7 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
             print("Last PSNR values:", psnr_d)
             print("Last Cosine Similarity values:", cos_d)
             for m, dname in zip(all_scores, ssim_d):
+                # both dicts were filled in --model order (positional keys)
                 all_scores[m]["ssim"].append(ssim_d[dname][-1])
                 all_scores[m]["psnr"].append(psnr_d[dname][-1])
                 all_scores[m]["cos"].append(cos_d[dname][-1])

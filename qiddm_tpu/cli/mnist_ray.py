@@ -59,7 +59,7 @@ def main(argv=None):
     x_all, y_all, h, w = common.load_dataset(args)
     x = x_all[y_all == args.label]
     cutoff = int(len(x) * 0.8)
-    x_train = x[:cutoff]
+    x_train, x_test = x[:cutoff], x[cutoff:]
     pixels = h * w
 
     best = None
@@ -75,6 +75,7 @@ def main(argv=None):
             epochs=args.epochs, batch_size=args.batch_size, T=args.tau,
             local_dir=args.local_dir, exp_name=f"{args.exp_name}_L{L}",
             seed=args.seed, sample_iters=5,
+            real_for_ssim=x_test[:20],  # reference scores on held-out x_test
             rungs=[0.5] if args.halving else None,
         )
         for i, lr in enumerate(group_lrs):

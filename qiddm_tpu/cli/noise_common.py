@@ -59,22 +59,28 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
 
     # --- train clean ------------------------------------------------------
     trained = {}
-    for model_args in args.model:
+    init_batch = x_train[:32].reshape(-1, 1, height, width)
+    for mi, model_args in enumerate(args.model):
         model_name = model_args[0]
-        net = common.build_model(model_args, seed=args.seed)
+        net = common.build_model(model_args, seed=args.seed,
+                                 init_batch=init_batch)
         args.lr = common.model_lr(args, model_name)
         diff = Diffusion(net=net, noise_f=add_normal_noise_multiple,
                          prediction_goal=args.target, shape=(height, width))
         loss_values, start_epoch = load_diffusion(diff, args.load_path, label)
         loss_values = common.train(diff, args, x_train, start_epoch,
                                    loss_values)
-        trained[model_name] = (diff, loss_values)
+        trained[mi] = (model_name, diff, loss_values)
 
     # --- noisy test sweep -------------------------------------------------
-    results = {m[0]: {} for m in args.model}
+    n_dup = {m[0]: [x[0] for x in args.model].count(m[0])
+             for m in args.model}
+    rkeys = {mi: (m[0] if n_dup[m[0]] == 1 else f"{m[0]}#{mi}")
+             for mi, m in enumerate(args.model)}
+    results = {rkeys[mi]: {} for mi in rkeys}
     for add_noise in noise_types:
-        for model_name in results:
-            results[model_name][add_noise] = {
+        for rk in results:
+            results[rk][add_noise] = {
                 "ssim": [], "psnr": [], "cos": [], "fid": []}
         for intensity in intensities:
             print(f"\nTest for add_noise: {add_noise}, intensity {intensity}")
@@ -83,9 +89,8 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
             # load_path around test(), src/mnist_noise.py:502-504)
             args.load_path = noise_load_path + str(add_noise)
             generated_dict, real_dict = {}, {}
-            for model_args in args.model:
-                model_name = model_args[0]
-                diff_clean, _ = trained[model_name]
+            for mi, model_args in enumerate(args.model):
+                model_name, diff_clean, _ = trained[mi]
                 noisy_net = common.with_noise(diff_clean.net, add_noise,
                                               intensity)
                 diff = Diffusion(net=noisy_net,
@@ -94,10 +99,9 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
                                  shape=(height, width))
                 cached = common.load_outp(diff, args.load_path, intensity)
                 if cached is not None:
-                    import jax.numpy as jnp
-                    outp = jnp.asarray(cached)
-                    generated, real = _postprocess(outp, args, x_test,
-                                                   tau_test)
+                    generated, real = common.test(
+                        diff, args, x_train, x_test, first_x,
+                        tau_test=tau_test, save_images=False, grid=cached)
                 else:
                     generated, real, grid = common.test(
                         diff, args, x_train, x_test, first_x,
@@ -108,7 +112,7 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
                 generated_dict[key] = generated
                 real_dict[key] = real
 
-                r = results[model_name][add_noise]
+                r = results[rkeys[mi]][add_noise]
                 r["ssim"].append(float(metrics.ssim_iterations(
                     generated, real, gen_img_count, real_img_count)[-1]))
                 r["psnr"].append(float(metrics.psnr_iterations(
@@ -129,26 +133,3 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
                                  xlabel=xlabel)
     args.save_path, args.load_path = original_save, original_load
     return results
-
-
-def _postprocess(outp, args, x_test, tau_test):
-    import jax.numpy as jnp
-    from einops import rearrange
-
-    s = args.img_size
-    outp = jnp.clip(outp, 0.0, 1.0) * 255.0
-    outp = np.asarray(jnp.clip(outp, 0.0, 255.0))
-    generated = rearrange(
-        outp, "(iters height) (batch width) -> iters batch 1 height width",
-        iters=tau_test + 1, height=s, width=s)
-    real = np.asarray(x_test).reshape(-1, 1, s, s)
-    rmin = real.reshape(len(real), -1).min(1)[:, None, None, None]
-    rmax = real.reshape(len(real), -1).max(1)[:, None, None, None]
-    real = (real - rmin) / (rmax - rmin + 1e-7)
-    gen = generated.copy()
-    for step in range(gen.shape[0]):
-        g = gen[step]
-        gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
-        gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
-        gen[step] = (g - gmin) / (gmax - gmin + 1e-7)
-    return gen, real

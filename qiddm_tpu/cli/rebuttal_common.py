@@ -29,8 +29,8 @@ def make_main(description, *, default_data, default_img_size, labels,
             description,
             default_models=default_models or _default_models(default_img_size),
             default_data=default_data, default_img_size=default_img_size,
-            default_label=labels[0], default_ds_size=5, default_epochs=10,
-            default_batch_size=10, default_tau=10,
+            default_label=labels[0], default_ds_size=5, default_epochs=15,
+            default_batch_size=1, default_tau=10,
             default_save_path=save_prefix, default_load_path=save_prefix)
         p.set_defaults(n_classes=n_classes)
         return p.parse_args(argv)

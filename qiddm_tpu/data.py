@@ -237,6 +237,10 @@ def _face_like(name, side, label_or_classes, ds_size):
         imgs = imgs.astype(np.float64)
         if imgs.max() > 1.5:
             imgs = imgs / 255.0
+        if imgs.ndim == 4:  # RGB cache -> grayscale (reference T.Grayscale)
+            imgs = imgs @ np.array([0.2989, 0.587, 0.114])
+        if imgs.shape[1] != side:
+            imgs = _resize(imgs, side)
     else:
         imgs, labels = _texture_fallback(side, name)
     return imgs, labels

@@ -67,9 +67,17 @@ def _load():
                 _BUILD_ERROR = err
                 return None
         lib = ctypes.CDLL(str(_LIB_PATH))
+        pd = ctypes.POINTER(ctypes.c_double)
         lib.qsim_statevector_run.restype = ctypes.c_int
+        lib.qsim_statevector_run.argtypes = [
+            ctypes.c_int, ctypes.POINTER(Op), ctypes.c_int, pd, pd, pd, pd]
         lib.qsim_density_run.restype = ctypes.c_int
+        lib.qsim_density_run.argtypes = [
+            ctypes.c_int, ctypes.POINTER(Op), ctypes.c_int, pd, pd, pd]
         lib.qsim_sample_counts.restype = ctypes.c_int
+        lib.qsim_sample_counts.argtypes = [
+            pd, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int64)]
         _LIB = lib
         return _LIB
 

@@ -58,7 +58,7 @@ def _shape_arg(shape):
 class QDenseUndirected_old(DenoiserShim):
     """Reference nn/qdense.py:15-68."""
 
-    def __init__(self, qdepth, shape, seed: int = 0):
+    def __init__(self, qdepth, shape, seed: int = 0, init_batch=None):
         qdepth = _int_arg(qdepth)
         shape = _shape_arg(shape)
         self.qdepth, (self.width, self.height) = qdepth, shape
@@ -74,7 +74,7 @@ class QDenseUndirected_old_noise(DenoiserShim):
     """Reference nn/qdense.py:71-125 (the papers' "Qdense" baseline)."""
 
     def __init__(self, qdepth, shape, add_noise=0,
-                 device_type="default.qubit.torch", seed: int = 0):
+                 device_type="default.qubit.torch", seed: int = 0, init_batch=None):
         qdepth, add_noise = _int_arg(qdepth), _int_arg(add_noise)
         shape = _shape_arg(shape)
         self.qdepth, self.add_noise = qdepth, add_noise
@@ -94,7 +94,7 @@ class QNN_A(DenoiserShim):
 
     def __init__(self, qdepth, shape, add_noise=0,
                  device_type="default.qubit.torch", diff_method="backprop",
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         qdepth, add_noise = _int_arg(qdepth), _int_arg(add_noise)
         shape = _shape_arg(shape)
         self.qdepth, self.add_noise = qdepth, add_noise
@@ -111,7 +111,7 @@ class QNN_noise(DenoiserShim):
     """Reference nn/qdense.py:219-307."""
 
     def __init__(self, input_dim, hidden_features, qdepth, add_noise=0,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         input_dim, hidden_features = _int_arg(input_dim), _int_arg(hidden_features)
         qdepth, add_noise = _int_arg(qdepth), _int_arg(add_noise)
         self.hidden_features, self.qdepth = hidden_features, qdepth
@@ -128,7 +128,7 @@ class QNN_noise(DenoiserShim):
 class QNN(DenoiserShim):
     """Reference nn/qdense.py:310-386."""
 
-    def __init__(self, input_dim, hidden_features, qdepth, seed: int = 0):
+    def __init__(self, input_dim, hidden_features, qdepth, seed: int = 0, init_batch=None):
         input_dim, hidden_features = _int_arg(input_dim), _int_arg(hidden_features)
         qdepth = _int_arg(qdepth)
         self.hidden_features, self.qdepth = hidden_features, qdepth
@@ -150,16 +150,18 @@ def _wires_for(pixels: int) -> int:
 
 
 class _ReuploadShim(DenoiserShim):
-    def __init__(self, module, shape, save_name_str, seed=0, **attrs):
+    def __init__(self, module, shape, save_name_str, seed=0, init_batch=None,
+                 **attrs):
         for k, v in attrs.items():
             setattr(self, k, v)
-        super().__init__(module, shape, seed=seed, save_name_str=save_name_str)
+        super().__init__(module, shape, seed=seed,
+                         save_name_str=save_name_str, init_batch=init_batch)
 
 
 class differN_noise(_ReuploadShim):
     """Reference nn/qdense.py:389-478 (papers' "QIDDM-A" flagship)."""
 
-    def __init__(self, shape, spectrum_layer, N, add_noise=0, seed: int = 0):
+    def __init__(self, shape, spectrum_layer, N, add_noise=0, seed: int = 0, init_batch=None):
         shape = _shape_arg(shape)
         L, N, add_noise = _int_arg(spectrum_layer), _int_arg(N), _int_arg(add_noise)
         wires = _wires_for(shape[0] * shape[1])
@@ -169,7 +171,7 @@ class differN_noise(_ReuploadShim):
                             add_noise=add_noise, noise_family="qdense"),
             shape,
             f"differN_old_pca={L}_N={N}_w{shape[0]}_h{shape[1]}_noise{add_noise}",
-            seed=seed, spectrum_layer=L, N=N, add_noise=add_noise, wires=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, add_noise=add_noise, wires=wires,
         )
 
 
@@ -178,7 +180,7 @@ class differN_noise_befor(_ReuploadShim):
     save_name matches the tune_results checkpoints)."""
 
     def __init__(self, shape, spectrum_layer, N, add_noise=0,
-                 device_type="default.qubit.torch", seed: int = 0):
+                 device_type="default.qubit.torch", seed: int = 0, init_batch=None):
         shape = _shape_arg(shape)
         L, N, add_noise = _int_arg(spectrum_layer), _int_arg(N), _int_arg(add_noise)
         wires = _wires_for(shape[0] * shape[1])
@@ -187,14 +189,14 @@ class differN_noise_befor(_ReuploadShim):
                             up="none", readout="probs", add_noise=add_noise,
                             noise_family="differn_befor"),
             shape, f"differN_noise={L}_N={N}_w{shape[0]}_h{shape[1]}",
-            seed=seed, spectrum_layer=L, N=N, add_noise=add_noise, wires=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, add_noise=add_noise, wires=wires,
         )
 
 
 class differN_old_pca(_ReuploadShim):
     """Reference nn/qdense.py:671-743."""
 
-    def __init__(self, shape, spectrum_layer, N, seed: int = 0):
+    def __init__(self, shape, spectrum_layer, N, seed: int = 0, init_batch=None):
         shape = _shape_arg(shape)
         L, N = _int_arg(spectrum_layer), _int_arg(N)
         wires = _wires_for(shape[0] * shape[1])
@@ -202,14 +204,14 @@ class differN_old_pca(_ReuploadShim):
             _ReuploadModule(hidden=wires, L=L, N=N, shape=shape, down="pca",
                             up="none", readout="probs"),
             shape, f"differN_old_pca={L}_N={N}_w{shape[0]}_h{shape[1]}",
-            seed=seed, spectrum_layer=L, N=N, wires=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, wires=wires,
         )
 
 
 class differN_new_pca(_ReuploadShim):
     """Reference nn/qdense.py:747-835 (post-processes probs per block)."""
 
-    def __init__(self, shape, spectrum_layer, N, seed: int = 0):
+    def __init__(self, shape, spectrum_layer, N, seed: int = 0, init_batch=None):
         shape = _shape_arg(shape)
         L, N = _int_arg(spectrum_layer), _int_arg(N)
         wires = _wires_for(shape[0] * shape[1])
@@ -217,14 +219,14 @@ class differN_new_pca(_ReuploadShim):
             _ReuploadModule(hidden=wires, L=L, N=N, shape=shape, down="pca",
                             up="none", readout="probs", post_each_block=True),
             shape, f"differN_new_pca={L}_N={N}_w{shape[0]}_h{shape[1]}",
-            seed=seed, spectrum_layer=L, N=N, wires=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, wires=wires,
         )
 
 
 class differN_new_conv(_ReuploadShim):
     """Reference nn/qdense.py:838-935."""
 
-    def __init__(self, shape, spectrum_layer, N, seed: int = 0):
+    def __init__(self, shape, spectrum_layer, N, seed: int = 0, init_batch=None):
         shape = _shape_arg(shape)
         L, N = _int_arg(spectrum_layer), _int_arg(N)
         wires = _wires_for(shape[0] * shape[1])
@@ -232,14 +234,14 @@ class differN_new_conv(_ReuploadShim):
             _ReuploadModule(hidden=wires, L=L, N=N, shape=shape, down="conv",
                             up="none", readout="probs", post_each_block=True),
             shape, f"differN_new_conv={L}_N={N}_w{shape[0]}_h{shape[1]}",
-            seed=seed, spectrum_layer=L, N=N, wires=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, wires=wires,
         )
 
 
 class differN_old_conv(_ReuploadShim):
     """Reference nn/qdense.py:939-1011."""
 
-    def __init__(self, shape, spectrum_layer, N, seed: int = 0):
+    def __init__(self, shape, spectrum_layer, N, seed: int = 0, init_batch=None):
         shape = _shape_arg(shape)
         L, N = _int_arg(spectrum_layer), _int_arg(N)
         wires = _wires_for(shape[0] * shape[1])
@@ -247,14 +249,14 @@ class differN_old_conv(_ReuploadShim):
             _ReuploadModule(hidden=wires, L=L, N=N, shape=shape, down="conv",
                             up="none", readout="probs"),
             shape, f"differN_old_conv={L}_N={N}_w{shape[0]}_h{shape[1]}",
-            seed=seed, spectrum_layer=L, N=N, wires=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, wires=wires,
         )
 
 
 class QIDDM_A_sameN(_ReuploadShim):
     """Reference nn/qdense.py:2276-2342 (no projection, shared block weights)."""
 
-    def __init__(self, shape, spectrum_layer, N, seed: int = 0):
+    def __init__(self, shape, spectrum_layer, N, seed: int = 0, init_batch=None):
         shape = _shape_arg(shape)
         L, N = _int_arg(spectrum_layer), _int_arg(N)
         wires = _wires_for(shape[0] * shape[1])
@@ -262,7 +264,7 @@ class QIDDM_A_sameN(_ReuploadShim):
             _ReuploadModule(hidden=wires, L=L, N=N, shape=shape, down="none",
                             up="none", readout="probs", shared_weights=True),
             shape, f"QIDDM_A_sameN={L}_N={N}_w{shape[0]}_h{shape[1]}",
-            seed=seed, spectrum_layer=L, N=N, wires=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, wires=wires,
         )
 
 
@@ -270,7 +272,7 @@ class QIDDM_A_differN_basePL(_ReuploadShim):
     """Reference nn/qdense.py:2182-2273 (pi/2-scaled RZ encode, per-block
     post-processing; ``input_dim`` is the image SIDE, not the pixel count)."""
 
-    def __init__(self, input_dim, spectrum_layer, N, seed: int = 0):
+    def __init__(self, input_dim, spectrum_layer, N, seed: int = 0, init_batch=None):
         side = _int_arg(input_dim)
         shape = (side, side)
         L, N = _int_arg(spectrum_layer), _int_arg(N)
@@ -280,14 +282,14 @@ class QIDDM_A_differN_basePL(_ReuploadShim):
                             up="none", readout="probs", encode="rz_halfpi",
                             post_each_block=True),
             shape, f"QIDDM_pca_features={wires}_L={L}_N={N}",
-            seed=seed, spectrum_layer=L, N=N, hidden_features=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, hidden_features=wires,
         )
 
 
 class QIDDM_A_differN_NEW(_ReuploadShim):
     """Reference nn/qdense.py:2345-2437 (same circuit as basePL)."""
 
-    def __init__(self, input_dim, spectrum_layer, N, seed: int = 0):
+    def __init__(self, input_dim, spectrum_layer, N, seed: int = 0, init_batch=None):
         side = _int_arg(input_dim)
         shape = (side, side)
         L, N = _int_arg(spectrum_layer), _int_arg(N)
@@ -297,7 +299,7 @@ class QIDDM_A_differN_NEW(_ReuploadShim):
                             up="none", readout="probs", encode="rz_halfpi",
                             post_each_block=True),
             shape, f"QIDDM_pca_new={wires}_L={L}_N={N}",
-            seed=seed, spectrum_layer=L, N=N, hidden_features=wires,
+            seed=seed, init_batch=init_batch, spectrum_layer=L, N=N, hidden_features=wires,
         )
 
 
@@ -325,24 +327,24 @@ class QIDDM_PL(_ReuploadShim):
     PCA down, linear up, PauliZ readout)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="pca",
                                        up="linear",
                                        save="QIDDM_PL={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)
 
 
 class QIDDM_PL_old(_ReuploadShim):
     """Reference nn/qdense.py:1176-1250."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="pca",
                                        up="linear",
                                        save="QIDDM_PL_old_q={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)
 
 
 class QIDDM_PL_noise(_ReuploadShim):
@@ -350,13 +352,13 @@ class QIDDM_PL_noise(_ReuploadShim):
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
                  add_noise=0, device_type="lightning.qubit", seed: int = 0,
-                 noise_intensity=None):
+                 noise_intensity=None, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="pca",
                                        up="linear", add_noise=add_noise,
                                        noise_intensity=noise_intensity,
                                        save="QIDDM_PL_noise={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed,
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch,
                          add_noise=_int_arg(add_noise), **attrs)
 
 
@@ -364,13 +366,13 @@ class QIDDM_PL_noise1(_ReuploadShim):
     """Reference nn/qdense.py:565-667 (RY re-uploading variant)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 add_noise=0, device_type="lightning.qubit", seed: int = 0):
+                 add_noise=0, device_type="lightning.qubit", seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="pca",
                                        up="linear", encode="ry",
                                        add_noise=add_noise,
                                        save="QIDDM_PL_noise={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed,
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch,
                          add_noise=_int_arg(add_noise), **attrs)
 
 
@@ -380,13 +382,13 @@ class QIDDM_LL_noise(_ReuploadShim):
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
                  add_noise=0, device_type="lightning.qubit", seed: int = 0,
-                 noise_intensity=None):
+                 noise_intensity=None, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="linear",
                                        up="linear", add_noise=add_noise,
                                        noise_intensity=noise_intensity,
                                        save="QIDDM_LL_noise={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed,
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch,
                          add_noise=_int_arg(add_noise), **attrs)
 
 
@@ -395,12 +397,12 @@ class QIDDM_LL_relu_noise(_ReuploadShim):
     — reproduced as plain LL)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 add_noise=0, device_type="lightning.qubit", seed: int = 0):
+                 add_noise=0, device_type="lightning.qubit", seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="linear",
                                        up="linear", add_noise=add_noise,
                                        save="QIDDM_LL_noise={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed,
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch,
                          add_noise=_int_arg(add_noise), **attrs)
 
 
@@ -408,12 +410,12 @@ class QIDDM_LL_old(_ReuploadShim):
     """Reference nn/qdense.py:1873-1968."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="linear",
                                        up="linear",
                                        save="QIDDM_linear_features={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)
 
 
 class QIDDM_L(QIDDM_LL_old):
@@ -426,12 +428,12 @@ class QIDDM_bias_false(_ReuploadShim):
     """Reference nn/qdense.py:1971-2074 (bias-free linears, k=3 SEL layers)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="linear",
                                        up="linear", bias=False, k=3,
                                        save="QIDDM_linear_features={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)
 
 
 class QIDDM_L_B(_ReuploadShim):
@@ -439,48 +441,48 @@ class QIDDM_L_B(_ReuploadShim):
     the reference's only JAX-device model)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="linear",
                                        up="linear", k=3, batchnorm=True,
                                        save="QIDDM_linear_batch_features={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)
 
 
 class QIDDM_CL_new(_ReuploadShim):
     """Reference nn/qdense.py:1014-1100 (conv down, linear up)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="conv",
                                        up="linear",
                                        save="QIDDM_CL_new_q={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)
 
 
 class QIDDM_CL_old(_ReuploadShim):
     """Reference nn/qdense.py:1104-1173."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="conv",
                                        up="linear",
                                        save="QIDDM_CL_old_q={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)
 
 
 class QIDDM_PP_noise(_ReuploadShim):
     """Reference nn/qdense.py:1663-1753 (PCA down + inverse-PCA up)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 add_noise=0, device_type="lightning.qubit", seed: int = 0):
+                 add_noise=0, device_type="lightning.qubit", seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N, down="pca",
                                        up="pca_inverse", add_noise=add_noise,
                                        save="QIDDM_PP_noise={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed,
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch,
                          add_noise=_int_arg(add_noise), **attrs)
 
 
@@ -490,11 +492,11 @@ class QIDDM_PP_old(_ReuploadShim):
     checkpoint)."""
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
-                 seed: int = 0):
+                 seed: int = 0, init_batch=None):
         m, shape, name, attrs = _qiddm(input_dim, hidden_features,
                                        spectrum_layer, N,
                                        down="pca2_bn_linear",
                                        up="linear_then_pca_inverse",
                                        pca_lazy=True,
                                        save="QIDDM_PP_features={h}_L={L}_N={N}")
-        super().__init__(m, shape, name, seed=seed, **attrs)
+        super().__init__(m, shape, name, seed=seed, init_batch=init_batch, **attrs)

@@ -235,36 +235,37 @@ class UNetUndirected(DenoiserShim):
 class UnetDirected(DenoiserShim):
     """Reference nn/unet.py:183-190."""
 
+    _simple = False
+    _name_prefix = "unet_directed"
+
     def __init__(self, depth=3, start_channels=8, qdepth=3, seed: int = 0,
                  img_shape=(28, 28)):
+        import numpy as _np
+
         depth, start_channels, qdepth = (int(depth), int(start_channels),
                                          int(qdepth))
         self.depth, self.start_channels, self.qdepth = (depth, start_channels,
                                                         qdepth)
-        module = UNetModule(depth=depth, start_channels=start_channels,
-                            qdepth=qdepth, directed=True)
-        w, h = img_shape
-        import numpy as _np
-
-        self.module = module
+        self.module = UNetModule(depth=depth, start_channels=start_channels,
+                                 qdepth=qdepth, directed=True,
+                                 simple=self._simple)
         self.img_shape = img_shape
-        self._save_name = f"unet_directed_d{depth}_s{start_channels}_d{qdepth}"
+        self._save_name = (f"{self._name_prefix}_d{depth}"
+                           f"_s{start_channels}_d{qdepth}")
         self.directed = True
-        import jax as _jax
-
-        dummy_x = _jax.random.uniform(_jax.random.PRNGKey(seed + 1),
-                                      (2, 1, w, h))
-        dummy_y = _np.zeros((2,), dtype=_np.int32)
-        self.variables = _jax.jit(
-            lambda k, xb, yb: module.init(k, xb, yb, train=False))(
-                _jax.random.PRNGKey(seed), dummy_x, dummy_y)
+        w, h = img_shape
+        dummy_x = jax.random.uniform(jax.random.PRNGKey(seed + 1),
+                                     (2, 1, w, h))
+        dummy_y = _np.zeros((2,), _np.int32)
+        self.variables = jax.jit(
+            lambda k, xb, yb: self.module.init(k, xb, yb, train=False))(
+                jax.random.PRNGKey(seed), dummy_x, dummy_y)
 
     def __call__(self, x, y=None, train: bool = False):
-        import jax.numpy as _jnp
         import numpy as _np
 
         return self._jitted_apply_directed(train)(
-            self.variables, _jnp.asarray(x), _np.asarray(y))
+            self.variables, jnp.asarray(x), _np.asarray(y))
 
 
 class UNetUndirectedS(DenoiserShim):
@@ -288,22 +289,5 @@ class UNetUndirectedS(DenoiserShim):
 class UnetDirectedS(UnetDirected):
     """Reference nn/unet_simple.py:87-94."""
 
-    def __init__(self, depth=3, start_channels=8, qdepth=3, seed: int = 0,
-                 img_shape=(28, 28)):
-        super().__init__(depth, start_channels, qdepth, seed, img_shape)
-        self.module = UNetModule(depth=self.depth,
-                                 start_channels=self.start_channels,
-                                 qdepth=self.qdepth, directed=True,
-                                 simple=True)
-        import jax as _jax
-        import numpy as _np
-
-        w, h = img_shape
-        dummy_x = _jax.random.uniform(_jax.random.PRNGKey(seed + 1),
-                                      (2, 1, w, h))
-        dummy_y = _np.zeros((2,), dtype=_np.int32)
-        self.variables = _jax.jit(
-            lambda k, xb, yb: self.module.init(k, xb, yb, train=False))(
-                _jax.random.PRNGKey(seed), dummy_x, dummy_y)
-        self._save_name = (f"unet_s_directed_d{self.depth}"
-                           f"_s{self.start_channels}_d{self.qdepth}")
+    _simple = True
+    _name_prefix = "unet_s_directed"

@@ -94,3 +94,49 @@ def test_import_strict_rejects_unknown(emnist_ckpts):
     net = nn.QDenseUndirected_old_noise(60, 28, 0)  # wrong model
     with pytest.raises((ValueError, KeyError, TypeError, Exception)):
         load_reference_checkpoint(net, p)
+
+
+def test_import_quantum_unet_statedict():
+    """Quantum-conv UNet checkpoints (torch QConv2d stores a single SEL
+    `weights` tensor per conv) must map onto qweights."""
+    import numpy as np
+
+    net = nn.UNetUndirected(2, 2, 1, img_shape=(8, 8))
+    params = net.variables["params"]
+    sd = {}
+    rng = np.random.default_rng(0)
+
+    def fake_bn(prefix, n):
+        sd[f"{prefix}.weight"] = rng.normal(size=(n,))
+        sd[f"{prefix}.bias"] = rng.normal(size=(n,))
+        sd[f"{prefix}.running_mean"] = rng.normal(size=(n,))
+        sd[f"{prefix}.running_var"] = np.abs(rng.normal(size=(n,))) + 1
+
+    for i, name in enumerate(k for k in params if k.startswith("down")):
+        blk = f"net.down_blocks.{i}.net"
+        for ci, idx in (("conv0", 0), ("conv1", 3)):
+            sd[f"{blk}.{idx}.weights"] = rng.normal(
+                size=params[name][ci]["qweights"].shape)
+        n = params[name]["bn0"]["scale"].shape[0]
+        fake_bn(f"{blk}.1", n)
+        fake_bn(f"{blk}.4", n)
+    for i, name in enumerate(k for k in params
+                             if k.startswith("up") and k != "up_conv"):
+        blk = f"net.up_blocks.{i}"
+        sd[f"{blk}.up_conv.1.weights"] = rng.normal(
+            size=params[name]["up_conv"]["qweights"].shape)
+        for ci, idx in (("conv0", 0), ("conv1", 3)):
+            sd[f"{blk}.net.{idx}.weights"] = rng.normal(
+                size=params[name][ci]["qweights"].shape)
+        n = params[name]["bn0"]["scale"].shape[0]
+        fake_bn(f"{blk}.net.2", n)
+        fake_bn(f"{blk}.net.4", n)
+    sd["net.final_conv.weights"] = rng.normal(
+        size=params["final_conv"]["qweights"].shape)
+
+    from qiddm_tpu.ckpt import import_torch_state_dict
+
+    import_torch_state_dict(net, sd, strict=True)
+    got = np.asarray(net.variables["params"]["final_conv"]["qweights"])
+    np.testing.assert_allclose(got, sd["net.final_conv.weights"], atol=1e-6)
+    _sample_ok(net, iters=2, s=8)
