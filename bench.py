@@ -17,21 +17,20 @@ import time
 REFERENCE_IMAGES_PER_SEC = 2.3  # BASELINE.md derived throughput
 
 
-def main():
+def main(epochs: int = 30, batch_size: int = 8, tau: int = 10,
+         L: int = 9, N: int = 2):
     import jax
 
     from qiddm_tpu import data, nn
     from qiddm_tpu.diffusion import Diffusion
     from qiddm_tpu.train import train_diffusion_scan
-
-    epochs, batch_size, tau = 30, 8, 10
     x, y, h, w = data.mnist_28x28(n_classes=10, ds_size=500)
     x = x[y == 4]
     n_train = int(len(x) * 0.8)
     x = x[:n_train]
 
     # QIDDM-A = differN family, L=9, N=2 (the tune_results config)
-    net = nn.differN_noise(28, 9, 2, 0)
+    net = nn.differN_noise(28, L, N, 0)
     diff = Diffusion(net=net, prediction_goal="data", shape=(h, w))
 
     t0 = time.time()

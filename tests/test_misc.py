@@ -98,3 +98,19 @@ def test_logger_tee(tmp_path, capsys):
     lg.write("hello tee\n")
     lg.flush()
     assert "hello tee" in logfile.read_text()
+
+
+def test_bench_path_smoke(capsys):
+    """bench.py's code path must run (tiny config, CPU): one JSON line with
+    the required keys."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import bench
+
+    bench.main(epochs=2, batch_size=8, tau=2, L=2, N=1)
+    line = capsys.readouterr().out.strip().split("\n")[0]
+    rec = json.loads(line)
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
