@@ -240,7 +240,7 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
             loss_values = list(loss_values) + [float(v) for v in losses]
             done += seg
             remaining -= seg
-            print(f"trained {seg} epochs in {wall:.3f}s "
+            print(f"trained {seg} epochs in {wall:.3f}s incl. compile "
                   f"({len(x_train) * seg / max(wall, 1e-9):.0f} images/s)")
             if ckpt_every and remaining > 0:
                 save_diffusion(diff, args.save_path, args.label, loss_values,

@@ -169,8 +169,11 @@ def _load_mnist_like(name, roots, img_names, lbl_names, side, fallback="digits")
 # ---------------------------------------------------------------------------
 
 def mnist_8x8(n_classes=10, ds_size=100):
-    """sklearn digits (reference src/data.py:10-17) — always offline-safe."""
-    x, y = _sk_datasets.load_digits(n_class=n_classes, return_X_y=True)
+    """sklearn digits (reference src/data.py:10-17) — always offline-safe.
+    digits has 10 classes; larger requests (e.g. the EMNIST driver's 26)
+    clamp to all 10."""
+    x, y = _sk_datasets.load_digits(n_class=min(n_classes, 10),
+                                    return_X_y=True)
     x = (x / 16.0).reshape(-1, 64)
     x, y = x[:ds_size], y[:ds_size]
     return x.astype(np.float64), y.astype(np.int64), 8, 8
