@@ -505,7 +505,7 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
                       f"left {args.epochs - start_epoch}")
                 loss_values = train(diff, args, x_train, start_epoch,
                                     loss_values)
-                loss_dict[model_name] = loss_values
+                loss_dict[model_key(mi, model_args)] = loss_values
 
                 generated, real = test(diff, args, x_train, x_test, first_x,
                                        tau_test=tau_test)

@@ -189,38 +189,11 @@ class Diffusion:
 
         return run
 
-    def sample_fn(self, variables, first_x, n_iters: int, *,
-                  only_last: bool = False, step: int = 1,
-                  noise_factor: float = 1.0):
-        """Iterative denoising as one ``lax.scan`` (src/models.py:106-147).
-
-        first_x: (b, 1, w, h). Returns either the last image (only_last) or
-        the reference's stacked grid ``(iters*h, b*w)``.
-        """
-        goal = self.prediction_goal
-        net = self.net
-
-        def body(x, _):
-            pred = net.module.apply(variables, x, train=False, mutable=False)
-            if goal == "data":
-                new_x = pred
-            else:
-                new_x = jnp.clip(x - (pred - 0.5) * 0.1 * noise_factor, 0.0, 1.0)
-            return new_x, new_x
-
-        last, xs = jax.lax.scan(body, first_x, None, length=n_iters)
-        if only_last:
-            return last
-        kept = xs[::step] if step > 1 else xs
-        outp = jnp.concatenate([first_x[None], kept], axis=0)
-        return rearrange(outp, "iters batch 1 height width -> "
-                               "(iters height) (batch width)")
-
-    def sample_stack_fn(self, variables, first_x, n_iters: int, *,
-                        noise_factor: float = 1.0):
-        """Like ``sample_fn`` but returns the raw (iters+1, b, 1, h, w) stack
-        (metric/sweep-friendly; the reference reshapes its grid back to this
-        layout before scoring, src/mnist_exm.py:221-224)."""
+    def _denoise_scan(self, variables, first_x, n_iters: int,
+                      noise_factor: float):
+        """The iterative denoise loop shared by every sampling entry point
+        (reference src/models.py:124-136): data goal replaces x with the
+        prediction; noise goal subtracts the scaled prediction and clips."""
         goal = self.prediction_goal
         net = self.net
 
@@ -233,7 +206,31 @@ class Diffusion:
                                  0.0, 1.0)
             return new_x, new_x
 
-        _, xs = jax.lax.scan(body, first_x, None, length=n_iters)
+        return jax.lax.scan(body, first_x, None, length=n_iters)
+
+    def sample_fn(self, variables, first_x, n_iters: int, *,
+                  only_last: bool = False, step: int = 1,
+                  noise_factor: float = 1.0):
+        """Iterative denoising as one ``lax.scan`` (src/models.py:106-147).
+
+        first_x: (b, 1, w, h). Returns either the last image (only_last) or
+        the reference's stacked grid ``(iters*h, b*w)``.
+        """
+        last, xs = self._denoise_scan(variables, first_x, n_iters,
+                                      noise_factor)
+        if only_last:
+            return last
+        kept = xs[::step] if step > 1 else xs
+        outp = jnp.concatenate([first_x[None], kept], axis=0)
+        return rearrange(outp, "iters batch 1 height width -> "
+                               "(iters height) (batch width)")
+
+    def sample_stack_fn(self, variables, first_x, n_iters: int, *,
+                        noise_factor: float = 1.0):
+        """Like ``sample_fn`` but returns the raw (iters+1, b, 1, h, w) stack
+        (metric/sweep-friendly; the reference reshapes its grid back to this
+        layout before scoring, src/mnist_exm.py:221-224)."""
+        _, xs = self._denoise_scan(variables, first_x, n_iters, noise_factor)
         return jnp.concatenate([first_x[None], xs], axis=0)
 
     # --- torch-like dispatch ------------------------------------------------

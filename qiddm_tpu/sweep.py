@@ -151,7 +151,7 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
     if local_dir is not None:
         result.trial_dirs = _write_artifacts(
             local_dir, exp_name, result, params, extra, alive, proto,
-            dict(batch_size=bs, epochs=epochs, T=T), t_start)
+            dict(batch_size=bs, epochs=epochs, T=T), t_start, last_epoch)
     return result
 
 
@@ -198,10 +198,13 @@ def _score_ssim(diff, module, params, extra, first_x, sample_iters,
 
 
 def _write_artifacts(local_dir, exp_name, result: SweepResult, params, extra,
-                     alive, proto, cfg, t_start):
+                     alive, proto, cfg, t_start, last_epoch):
     """tune_results-compatible layout (reference tune_results/...):
     <local_dir>/<exp_name>/<trial>/params.json + result.json + progress.csv
-    + checkpoint .pt named with final loss and ssim."""
+    + checkpoint .pt named with final loss and ssim. training_iteration is
+    the trial's ACTUAL trained epochs (halving-dropped trials stop early);
+    time_total_s is the whole vmapped sweep's wall (trials train
+    simultaneously — there is no meaningful per-trial wall)."""
     base = pathlib.Path(local_dir) / exp_name
     dirs = []
     elapsed = time.time() - t_start
@@ -213,7 +216,7 @@ def _write_artifacts(local_dir, exp_name, result: SweepResult, params, extra,
         rec = {
             "loss": float(result.final_loss[t]),
             "ssim": float(result.ssim[t]),
-            "training_iteration": int(cfg["epochs"]),
+            "training_iteration": int(last_epoch[t]),
             "time_total_s": elapsed,
             "node_ip": "127.0.0.1",
             "trial_id": f"trial_{t:05d}",
@@ -222,7 +225,7 @@ def _write_artifacts(local_dir, exp_name, result: SweepResult, params, extra,
             f.write(json.dumps(rec) + "\n")
         with open(td / "progress.csv", "w") as f:
             f.write("training_iteration,loss\n")
-            for e, v in enumerate(result.loss_curves[t]):
+            for e, v in enumerate(result.loss_curves[t][:int(last_epoch[t])]):
                 f.write(f"{e + 1},{v}\n")
         # checkpoint for surviving trials
         pos = np.nonzero(alive == t)[0]

@@ -41,7 +41,9 @@ def train_diffusion(diff, x_train, *, epochs: int, batch_size: int, lr: float,
     remaining = epochs - start_epoch
     t0 = time.time()
     for e in range(max(remaining, 0)):
-        key, sub = jax.random.split(key)
+        # fold in the ABSOLUTE epoch index so resumed runs draw fresh
+        # shuffles/noise instead of replaying epochs 0..remaining
+        sub = jax.random.fold_in(key, start_epoch + e)
         params, opt_state, extra_vars, losses = epoch_fn(
             params, opt_state, extra_vars, sub, x_train, n_train)
         epoch_loss = float(jnp.sum(losses))

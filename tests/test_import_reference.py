@@ -92,7 +92,7 @@ def test_import_unet(emnist_ckpts):
 def test_import_strict_rejects_unknown(emnist_ckpts):
     p = next(emnist_ckpts.rglob("QNN_linear_features=8_qdepth=6_add_noise=0_noise_22.pt"))
     net = nn.QDenseUndirected_old_noise(60, 28, 0)  # wrong model
-    with pytest.raises((ValueError, KeyError, TypeError, Exception)):
+    with pytest.raises((ValueError, KeyError)):
         load_reference_checkpoint(net, p)
 
 

@@ -289,11 +289,14 @@ def test_autodiff_through_qdense():
     w = jnp.asarray(rand_weights(depth, wires, 3), jnp.float32)
     x = jnp.abs(jnp.asarray(RNG.normal(size=(2, 6)), jnp.float32)) + 0.1
 
+    vec = jnp.asarray(RNG.normal(size=(2**wires,)), jnp.float32)
+
     def loss(w):
-        return jnp.sum(sim.qdense_circuit(x, w, wires=wires))
+        return jnp.sum(sim.qdense_circuit(x, w, wires=wires) @ vec)
 
     g = jax.grad(loss)(w)
     assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
 
 
 def test_engine_compose_and_direct_paths_agree():

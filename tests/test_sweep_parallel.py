@@ -69,7 +69,7 @@ def test_mesh_data_parallel_training_matches_shapes():
     # batch 8, T=7 -> expanded batch 56 = 8 devices x 7
     losses, wall = train_diffusion_scan(
         diff, x, epochs=3, batch_size=8, lr=0.01, T=7,
-        key=jax.random.PRNGKey(0), mesh=mesh)
+        key=jax.random.PRNGKey(0), mesh=mesh, warmup=False)
     assert losses.shape == (3,)
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]

@@ -70,6 +70,11 @@ def from_csv(path, label_col=0):
     y = df.iloc[:, label_col].to_numpy()
     x = df.drop(df.columns[label_col], axis=1).to_numpy()
     side = int(np.sqrt(x.shape[1]))
+    if side * side != x.shape[1]:
+        raise SystemExit(
+            f"CSV rows have {x.shape[1]} pixel columns, which is not a "
+            f"square image; this tool only supports square CSV images "
+            f"(check --label-col, currently {label_col})")
     return x.reshape(-1, side, side), y
 
 
@@ -83,6 +88,8 @@ def main():
     p.add_argument("--imagedir", type=str)
     p.add_argument("--medmnist", type=str)
     p.add_argument("--csv", type=str)
+    p.add_argument("--label-col", type=int, default=0,
+                   help="label column index for --csv (default 0)")
     args = p.parse_args()
 
     if args.idx:
@@ -92,7 +99,7 @@ def main():
     elif args.medmnist:
         x, y = from_medmnist(args.medmnist)
     elif args.csv:
-        x, y = from_csv(args.csv)
+        x, y = from_csv(args.csv, label_col=args.label_col)
     else:
         raise SystemExit("choose one of --idx / --imagedir / --medmnist / --csv")
 
