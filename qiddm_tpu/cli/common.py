@@ -249,11 +249,43 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
     return loss_values
 
 
+@dataclasses.dataclass(frozen=True)
+class ScoreProtocol:
+    """Per-driver test()/metric conventions — the reference drivers diverge
+    in how they post-process samples before scoring:
+
+    * mnist_exm (src/mnist_exm.py:206-261,471-480): generated per-step
+      min-max renormalized to [0,1], real min-max to [0,1], scored vs x_test
+      with (gen=5, real=80) and PSNR/cosine alongside SSIM.
+    * fashion_exm/emnist_exm (src/fashion_exm.py:216-260,459-468 /
+      src/emnist_exm.py:206-250,441-450): generated kept in [0,255] (no
+      renorm loop), real min-max then x255+clamp, scored vs x_test with
+      (1,10) / (1,20).
+    * rebuttal drivers (src/bloodmnist.py:206-288,523-524 and its clones):
+      generated kept in [0,255], real from **x_train** min-max x255+clamp,
+      SSIM only (PSNR/cos commented out) with (10,20).
+    """
+    renorm_generated: bool = True
+    real_255: bool = False
+    real_from_train: bool = False
+    gen_count: int = 5
+    real_count: int = 80
+    psnr_cos: bool = True
+
+
+MNIST_PROTOCOL = ScoreProtocol()
+FASHION_PROTOCOL = ScoreProtocol(False, True, False, 1, 10, True)
+EMNIST_PROTOCOL = ScoreProtocol(False, True, False, 1, 20, True)
+REBUTTAL_PROTOCOL = ScoreProtocol(False, True, True, 10, 20, False)
+
+
 def test(diff, args, x_train, x_test, first_x, tau_test: int = 15,
-         save_images: bool = True, return_grid: bool = False, grid=None):
-    """Reference test() (src/mnist_exm.py:206-291): sample, rescale, per-step
-    renormalize, dump PNGs, return (generated (iters,b,1,h,w), real[, grid]).
-    ``grid`` short-circuits sampling with a cached sampler output."""
+         save_images: bool = True, return_grid: bool = False, grid=None,
+         protocol: ScoreProtocol = MNIST_PROTOCOL):
+    """Reference test() (src/mnist_exm.py:206-291): sample, rescale,
+    protocol-dependent renormalize, dump PNGs, return (generated
+    (iters,b,1,h,w), real[, grid]). ``grid`` short-circuits sampling with a
+    cached sampler output."""
     print("Testing model")
     s = args.img_size
     outp = grid if grid is not None else diff.eval().sample(
@@ -266,17 +298,21 @@ def test(diff, args, x_train, x_test, first_x, tau_test: int = 15,
         outp, "(iters height) (batch width) -> iters batch 1 height width",
         iters=tau_test + 1, height=s, width=s)
 
-    real = np.asarray(x_test).reshape(-1, 1, s, s)
+    real_src = x_train if protocol.real_from_train else x_test
+    real = np.asarray(real_src).reshape(-1, 1, s, s)
     rmin = real.reshape(len(real), -1).min(1)[:, None, None, None]
     rmax = real.reshape(len(real), -1).max(1)[:, None, None, None]
     real = (real - rmin) / (rmax - rmin + 1e-7)
+    if protocol.real_255:
+        real = np.clip(real * 255.0, 0.0, 255.0)
 
     gen = generated.copy()
-    for step in range(gen.shape[0]):
-        g = gen[step]
-        gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
-        gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
-        gen[step] = (g - gmin) / (gmax - gmin + 1e-7)
+    if protocol.renorm_generated:
+        for step in range(gen.shape[0]):
+            g = gen[step]
+            gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
+            gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
+            gen[step] = (g - gmin) / (gmax - gmin + 1e-7)
 
     if save_images and args.save_path:
         _dump_images(args, x_train, gen, outp, diff)
@@ -332,7 +368,8 @@ def load_outp(diff, load_path, noise_intensity):
         return None
 
 
-def run_labels_vmapped(args, labels, *, tau_test: int = 15):
+def run_labels_vmapped(args, labels, *, tau_test: int = 15,
+                       protocol: ScoreProtocol = MNIST_PROTOCOL):
     """Train EVERY label's model simultaneously in one vmapped program.
 
     TPU-first alternative to the reference's serial per-label loop
@@ -392,14 +429,16 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15):
 
         stacks = np.asarray(jax.jit(jax.vmap(one_sample))(params, extra))
         # reference scoring protocol (same as test()): clamp+rescale samples,
-        # per-step min-max normalize; per-image normalize reals
+        # protocol-dependent per-step min-max normalize; per-image
+        # normalize reals
         stacks = np.clip(np.clip(stacks, 0.0, 1.0) * 255.0, 0.0, 255.0)
-        for t in range(stacks.shape[0]):
-            for step in range(stacks.shape[1]):
-                g = stacks[t, step]
-                gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
-                gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
-                stacks[t, step] = (g - gmin) / (gmax - gmin + 1e-7)
+        if protocol.renorm_generated:
+            for t in range(stacks.shape[0]):
+                for step in range(stacks.shape[1]):
+                    g = stacks[t, step]
+                    gmin = g.reshape(len(g), -1).min(1)[:, None, None, None]
+                    gmax = g.reshape(len(g), -1).max(1)[:, None, None, None]
+                    stacks[t, step] = (g - gmin) / (gmax - gmin + 1e-7)
 
         scores = {"ssim": [], "psnr": [], "cos": []}
         for i, label in enumerate(labels):
@@ -411,14 +450,22 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15):
 
             save_checkpoint(sp / f"{diff.save_name()}_{label}.pt", var_i,
                             [float(v) for v in losses[i]], args.epochs)
-            real = x_test[i].reshape(-1, 1, height, width).astype(np.float32)
+            real_src = x_train if protocol.real_from_train else x_test
+            real = real_src[i].reshape(
+                -1, 1, height, width).astype(np.float32)
             rmin = real.reshape(len(real), -1).min(1)[:, None, None, None]
             rmax = real.reshape(len(real), -1).max(1)[:, None, None, None]
             real = (real - rmin) / (rmax - rmin + 1e-7)
+            if protocol.real_255:
+                real = np.clip(real * 255.0, 0.0, 255.0)
             gen = stacks[i]
-            s = metrics.ssim_iterations(gen, real, 5, 80)
-            p_ = metrics.psnr_iterations(gen, real, 5, 80)
-            c = metrics.cosine_iterations(gen, real, 5, 80)
+            gc, rc = protocol.gen_count, protocol.real_count
+            s = metrics.ssim_iterations(gen, real, gc, rc)
+            if protocol.psnr_cos:
+                p_ = metrics.psnr_iterations(gen, real, gc, rc)
+                c = metrics.cosine_iterations(gen, real, gc, rc)
+            else:
+                p_ = c = [float("nan")]
             scores["ssim"].append(float(s[-1]))
             scores["psnr"].append(float(p_[-1]))
             scores["cos"].append(float(c[-1]))
@@ -429,13 +476,15 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15):
 
 
 def run_labels(args, labels, *, augment_to: Optional[int] = None,
-               add_noise_range=range(0, 1), tau_test: int = 15):
+               add_noise_range=range(0, 1), tau_test: int = 15,
+               protocol: ScoreProtocol = MNIST_PROTOCOL):
     """The reference drivers' main loop (src/mnist_exm.py:334-503): per
     label, load data, split, per model: build -> resume -> train -> test ->
     metrics; plot loss/SSIM/PSNR/cosine curves."""
     validate_args(args)
     if getattr(args, "vmap_labels", False):
-        return run_labels_vmapped(args, labels, tau_test=tau_test)
+        return run_labels_vmapped(args, labels, tau_test=tau_test,
+                                  protocol=protocol)
     original_save, original_load = args.save_path, args.load_path
 
     def model_key(i, margs):
@@ -508,7 +557,7 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
                 loss_dict[model_key(mi, model_args)] = loss_values
 
                 generated, real = test(diff, args, x_train, x_test, first_x,
-                                       tau_test=tau_test)
+                                       tau_test=tau_test, protocol=protocol)
                 dict_key = f"{diff.save_name()}#{mi}"
                 generated_dict[dict_key] = generated
                 real_dict[dict_key] = real
@@ -516,16 +565,21 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
             metrics.show_metrics(loss_dict, "LOSS", args,
                                  model_name=model_name,
                                  model_params=model_params, is_loss=True)
+            gc, rc = protocol.gen_count, protocol.real_count
             ssim_d = metrics.get_ssim(generated_dict, real_dict, args,
-                                      gen_img_count=5, real_img_count=80)
-            psnr_d = metrics.get_psnr(generated_dict, real_dict, args,
-                                      gen_img_count=5, real_img_count=80)
-            cos_d = metrics.get_cosine_similarity(
-                generated_dict, real_dict, args, gen_img_count=5,
-                real_img_count=80)
+                                      gen_img_count=gc, real_img_count=rc)
             print("Last SSIM values:", ssim_d)
-            print("Last PSNR values:", psnr_d)
-            print("Last Cosine Similarity values:", cos_d)
+            if protocol.psnr_cos:
+                psnr_d = metrics.get_psnr(generated_dict, real_dict, args,
+                                          gen_img_count=gc, real_img_count=rc)
+                cos_d = metrics.get_cosine_similarity(
+                    generated_dict, real_dict, args, gen_img_count=gc,
+                    real_img_count=rc)
+                print("Last PSNR values:", psnr_d)
+                print("Last Cosine Similarity values:", cos_d)
+            else:  # rebuttal drivers ship SSIM only (src/bloodmnist.py:527+)
+                nans = {k: [float("nan")] for k in ssim_d}
+                psnr_d, cos_d = nans, nans
             for m, dname in zip(all_scores, ssim_d):
                 # both dicts were filled in --model order (positional keys)
                 all_scores[m]["ssim"].append(ssim_d[dname][-1])

@@ -27,7 +27,8 @@ def parse_args(argv):
 def main(argv=None):
     common.initial_log()
     args = parse_args(sys.argv[1:] if argv is None else argv)
-    return common.run_labels(args, labels=range(2, 3), tau_test=5)
+    return common.run_labels(args, labels=range(2, 3), tau_test=5,
+                             protocol=common.EMNIST_PROTOCOL)
 
 
 if __name__ == "__main__":

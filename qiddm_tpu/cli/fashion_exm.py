@@ -27,8 +27,8 @@ def parse_args(argv):
 def main(argv=None):
     common.initial_log()
     args = parse_args(sys.argv[1:] if argv is None else argv)
-    return common.run_labels(args, labels=range(4, 5),
-                             tau_test=2 * args.tau)
+    return common.run_labels(args, labels=range(4, 5), tau_test=2 * args.tau,
+                             protocol=common.FASHION_PROTOCOL)
 
 
 if __name__ == "__main__":

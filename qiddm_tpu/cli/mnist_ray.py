@@ -19,7 +19,7 @@ import sys
 import numpy as np
 
 from .. import nn
-from ..sweep import sweep_lr
+from ..sweep import asha_rungs, sweep_lr
 from . import common
 
 
@@ -43,9 +43,14 @@ def parse_args(argv):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--local-dir", type=str, default="tune_results")
     p.add_argument("--exp-name", type=str, default="train_mnist28")
-    p.add_argument("--halving", action="store_true",
-                   help="Apply synchronized successive halving (the "
-                        "vectorized stand-in for AsyncHyperBand).")
+    p.add_argument("--halving", dest="halving", action="store_true",
+                   default=True,
+                   help="Synchronized successive halving at AsyncHyperBand's "
+                        "rung points (grace=1, reduction=4 — the reference "
+                        "scheduler's defaults, src/mnist_ray.py:207). ON by "
+                        "default; disable with --no-halving.")
+    p.add_argument("--no-halving", dest="halving", action="store_false",
+                   help="Train every trial to the full epoch budget.")
     return p.parse_args(argv)
 
 
@@ -76,7 +81,7 @@ def main(argv=None):
             local_dir=args.local_dir, exp_name=f"{args.exp_name}_L{L}",
             seed=args.seed, sample_iters=5,
             real_for_ssim=x_test[:20],  # reference scores on held-out x_test
-            rungs=[0.5] if args.halving else None,
+            rungs=asha_rungs(args.epochs) if args.halving else None,
         )
         for i, lr in enumerate(group_lrs):
             row = {"L": L, "lr": lr, "loss": float(res.final_loss[i]),

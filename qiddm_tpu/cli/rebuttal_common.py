@@ -39,6 +39,7 @@ def make_main(description, *, default_data, default_img_size, labels,
         common.initial_log()
         args = parse_args(sys.argv[1:] if argv is None else argv)
         return common.run_labels(args, labels=labels, augment_to=augment_to,
-                                 tau_test=5)
+                                 tau_test=5,
+                                 protocol=common.REBUTTAL_PROTOCOL)
 
     return parse_args, main

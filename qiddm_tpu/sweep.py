@@ -49,6 +49,9 @@ class SweepResult:
     best_by_loss: int = 0
     best_by_ssim: int = 0
     trial_dirs: List[str] = field(default_factory=list)
+    # observability: sharding of the trained stacked params' first leaf
+    # (set when a mesh with a 'trial' axis was used; tests assert on it)
+    param_sharding: Optional[str] = None
 
 
 def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
@@ -65,7 +68,6 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
     dropped at a rung keep their metrics from that rung.
     """
     n_trials = len(lrs)
-    lrs_arr = jnp.asarray(np.asarray(lrs, np.float32))
     proto = make_net(seed)
     module = proto.module
     h, w = shape
@@ -76,9 +78,32 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
 
     diff = Diffusion(net=proto, prediction_goal=prediction_goal, shape=shape)
 
+    # multi-chip trial parallelism: shard the stacked trial axis over the
+    # mesh's ``trial`` axis — each chip trains its slice of the trials, with
+    # no cross-chip communication (trials are independent). The mesh's
+    # ``data`` axis (if any) still shards each trial's compute batch inside
+    # make_multi_epoch_fn. Trial counts are padded up to a multiple of the
+    # trial-axis size (device_put requires divisibility); ``row_map`` maps
+    # each stacked row to its original trial index, -1 for padding rows.
+    trial_sharding = _trial_sharding(mesh)
+    inner_mesh = (mesh if mesh is not None
+                  and "data" in getattr(mesh, "axis_names", ()) else None)
+    tdev = mesh.shape["trial"] if trial_sharding is not None else 1
+    pad = (-n_trials) % tdev
+    row_map = np.concatenate(
+        [np.arange(n_trials), np.full(pad, -1, np.int64)])
+    lrs_arr = jnp.asarray(
+        np.concatenate([np.asarray(lrs, np.float32),
+                        np.full(pad, float(lrs[-1]), np.float32)]))
+
+    def reshard(tree):
+        if trial_sharding is None:
+            return tree
+        return _shard_trial_tree(tree, trial_sharding, len(row_map))
+
     # per-trial init (different seeds, like independent Ray trials)
     dummy = x_train[: max(2, min(32, n_train))].reshape(-1, 1, h, w)
-    init_keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+    init_keys = jax.random.split(jax.random.PRNGKey(seed), len(row_map))
     stacked_vars = jax.jit(jax.vmap(
         lambda k: module.init(k, dummy, train=False)))(init_keys)
     params = stacked_vars["params"]
@@ -90,6 +115,12 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
     # overwrite the injected lr leaf with the per-trial array
     opt_state = opt_state._replace(
         hyperparams={**opt_state.hyperparams, "learning_rate": lrs_arr})
+    params, extra, opt_state = reshard(params), reshard(extra), reshard(
+        opt_state)
+    if trial_sharding is not None:
+        x_train = jax.device_put(
+            x_train, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))  # replicated
 
     if first_x is None:
         # 15 starting images, the reference sweep's shape (src/mnist_ray.py:132)
@@ -97,7 +128,6 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
             jax.random.PRNGKey(seed + 7), (15, 1, h, w)) * 0.75 + 0.5
 
     rung_epochs = _rung_plan(epochs, rungs)
-    alive = np.arange(n_trials)
     loss_curves = np.zeros((n_trials, epochs), np.float32)
     last_epoch = np.zeros((n_trials,), np.int64)
     ssims = np.zeros((n_trials,), np.float32)
@@ -107,35 +137,47 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
 
     for seg_i, (seg_epochs, keep_frac) in enumerate(rung_epochs):
         run = diff.make_multi_epoch_fn(optimizer, T, bs, seg_epochs,
-                                       mesh=mesh)
+                                       mesh=inner_mesh)
         vrun = jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, None, None)),
                        static_argnums=(5,))
         key, sub = jax.random.split(key)
-        trial_keys = jax.random.split(sub, params_count(params))
+        trial_keys = jax.random.split(sub, len(row_map))
+        if trial_sharding is not None:
+            trial_keys = jax.device_put(trial_keys, trial_sharding)
         params, opt_state, extra, seg_losses = vrun(
             params, opt_state, extra, trial_keys, x_train, n_train)
         seg_losses = np.asarray(seg_losses)
-        loss_curves[alive, epochs_done:epochs_done + seg_epochs] = seg_losses
+        valid = row_map >= 0
+        loss_curves[row_map[valid],
+                    epochs_done:epochs_done + seg_epochs] = seg_losses[valid]
         epochs_done += seg_epochs
-        last_epoch[alive] = epochs_done
+        last_epoch[row_map[valid]] = epochs_done
 
         # score every live trial by SSIM (the sweep's selection metric,
         # reference src/mnist_ray.py:207 mode="max")
         cur_ssim = _score_ssim(diff, module, params, extra, first_x,
                                sample_iters, real_for_ssim, x_train, (h, w))
-        ssims[alive] = cur_ssim
+        ssims[row_map[valid]] = cur_ssim[valid]
 
-        if keep_frac is not None and keep_frac < 1.0 and len(alive) > 1:
-            k = max(1, int(np.ceil(len(alive) * keep_frac)))
-            top = np.argsort(-cur_ssim)[:k]
-            sel = jnp.asarray(np.sort(top))
-            params = jax.tree_util.tree_map(lambda a: a[sel], params)
-            opt_state = jax.tree_util.tree_map(lambda a: a[sel]
-                                               if hasattr(a, "ndim") and a.ndim > 0
-                                               and a.shape[0] == len(cur_ssim)
-                                               else a, opt_state)
-            extra = jax.tree_util.tree_map(lambda a: a[sel], extra)
-            alive = alive[np.sort(top)]
+        if keep_frac is not None and keep_frac < 1.0 and valid.sum() > 1:
+            live_rows = np.nonzero(valid)[0]
+            k = max(1, int(np.ceil(len(live_rows) * keep_frac)))
+            order = np.argsort(-cur_ssim[live_rows])
+            sel = np.sort(live_rows[order[:k]])
+            sel_pad = (-len(sel)) % tdev
+            sel_full = np.concatenate(
+                [sel, np.repeat(sel[-1:], sel_pad)]).astype(np.int64)
+            gather = jnp.asarray(sel_full)
+            take = lambda a: a[gather]
+            params = jax.tree_util.tree_map(take, params)
+            opt_state = jax.tree_util.tree_map(
+                lambda a: a[gather] if hasattr(a, "ndim") and a.ndim > 0
+                and a.shape[0] == len(row_map) else a, opt_state)
+            extra = jax.tree_util.tree_map(take, extra)
+            row_map = np.concatenate(
+                [row_map[sel], np.full(sel_pad, -1, np.int64)])
+            params, extra = reshard(params), reshard(extra)
+            opt_state = reshard(opt_state)
 
     final_loss = np.asarray(
         [loss_curves[t, max(last_epoch[t] - 1, 0)] for t in range(n_trials)],
@@ -146,11 +188,14 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
         final_loss=final_loss, ssim=ssims,
         best_by_loss=int(np.argmin(final_loss)),
         best_by_ssim=int(np.argmax(ssims)),
+        param_sharding=str(
+            jax.tree_util.tree_leaves(params)[0].sharding)
+        if trial_sharding is not None else None,
     )
 
     if local_dir is not None:
         result.trial_dirs = _write_artifacts(
-            local_dir, exp_name, result, params, extra, alive, proto,
+            local_dir, exp_name, result, params, extra, row_map, proto,
             dict(batch_size=bs, epochs=epochs, T=T), t_start, last_epoch)
     return result
 
@@ -159,10 +204,68 @@ def params_count(params) -> int:
     return jax.tree_util.tree_leaves(params)[0].shape[0]
 
 
-def _rung_plan(epochs: int, rungs: Optional[List[float]]):
-    """[(segment_epochs, keep_frac_after_segment_or_None), ...]"""
+def _trial_sharding(mesh):
+    """NamedSharding that splits a stacked-trial axis over the mesh's
+    ``trial`` axis, or None when no mesh / no such axis."""
+    if mesh is None or "trial" not in getattr(mesh, "axis_names", ()):
+        return None
+    return jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("trial"))
+
+
+def _shard_trial_tree(tree, sharding, n_trials):
+    """device_put every leaf with a leading trial axis onto ``sharding``;
+    other leaves (e.g. scalar optimizer counters) are replicated."""
+    replicated = jax.sharding.NamedSharding(
+        sharding.mesh, jax.sharding.PartitionSpec())
+
+    def put(a):
+        if hasattr(a, "ndim") and a.ndim > 0 and a.shape[0] == n_trials:
+            return jax.device_put(a, sharding)
+        if hasattr(a, "ndim"):
+            return jax.device_put(a, replicated)
+        return a
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def asha_rungs(epochs: int, grace: int = 1, reduction: int = 4):
+    """Synchronized rung schedule mirroring AsyncHyperBandScheduler's
+    defaults (reference src/mnist_ray.py:207: metric=ssim, mode=max, with
+    Ray's grace_period=1, reduction_factor=4): rungs at epochs
+    grace * reduction^k, keeping the top 1/reduction at each.
+
+    Returns [(epoch, keep_frac), ...] suitable for sweep_lr(rungs=...).
+    """
+    rungs = []
+    t = grace
+    while t < epochs:
+        rungs.append((t, 1.0 / reduction))
+        t *= reduction
+    return rungs
+
+
+def _rung_plan(epochs: int, rungs):
+    """[(segment_epochs, keep_frac_after_segment_or_None), ...].
+
+    ``rungs`` is either a list of keep-fractions (applied at evenly spaced
+    epochs) or a list of (epoch, keep_frac) pairs (explicit rung points,
+    e.g. from asha_rungs)."""
     if not rungs:
         return [(epochs, None)]
+    if isinstance(rungs[0], (tuple, list)):
+        plan, prev = [], 0
+        for ep, keep in rungs:
+            ep = min(int(ep), epochs)
+            if ep <= prev:
+                continue
+            plan.append((ep - prev, float(keep)))
+            prev = ep
+        if prev < epochs:
+            plan.append((epochs - prev, None))
+        elif plan:  # last rung right at the end: no post-rung segment
+            plan[-1] = (plan[-1][0], plan[-1][1])
+        return plan or [(epochs, None)]
     n = len(rungs) + 1
     seg = epochs // n
     plan = [(seg, rungs[i]) for i in range(len(rungs))]
@@ -220,6 +323,9 @@ def _write_artifacts(local_dir, exp_name, result: SweepResult, params, extra,
             "time_total_s": elapsed,
             "node_ip": "127.0.0.1",
             "trial_id": f"trial_{t:05d}",
+            # rung decision: True when a halving rung stopped this trial
+            # before the full epoch budget (AsyncHyperBand analogue)
+            "early_stopped": bool(int(last_epoch[t]) < int(cfg["epochs"])),
         }
         with open(td / "result.json", "w") as f:
             f.write(json.dumps(rec) + "\n")

@@ -8,8 +8,17 @@ module-level assignment in conftest.
 
 import os
 import sys
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Hermetic data dir: the suite must behave the same whether or not the user
+# has built real-data caches (tools/extract_reference_data.py) in the
+# default ~/qiddm_data — tests exercise the documented offline fallbacks.
+# Tests that want the real caches opt in via the real_data_dir fixture.
+_REAL_DATA_DIR = os.environ.get(
+    "QIDDM_DATA_DIR", os.path.expanduser("~/qiddm_data"))
+os.environ["QIDDM_DATA_DIR"] = tempfile.mkdtemp(prefix="qiddm_test_data_")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,3 +32,19 @@ import jax  # noqa: E402  (after env setup)
 # The axon TPU plugin registers itself in sitecustomize before conftest runs,
 # so the env var alone is not enough — pin the platform via config too.
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def real_data_dir():
+    """Path to the user's real-data cache dir (tools/extract_reference_data
+    output); skips the test when the caches haven't been built."""
+    import pathlib
+
+    p = pathlib.Path(_REAL_DATA_DIR)
+    if not (p / "bloodmnist_28.npz").exists():
+        pytest.skip("real-data caches not built "
+                    "(run tools/extract_reference_data.py)")
+    return p

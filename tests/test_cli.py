@@ -57,6 +57,7 @@ def test_mnist_exm_driver_end_to_end(tmp_path, monkeypatch):
     assert list(pathlib.Path(tmp_path).rglob("SSIM_*.png"))
 
 
+@pytest.mark.slow
 def test_driver_checkpoint_resume(tmp_path, monkeypatch):
     from qiddm_tpu.cli import mnist_exm
 
@@ -116,6 +117,7 @@ def test_augment_rotation_reaches_target():
     assert x2.min() >= 0 and x2.max() <= 1
 
 
+@pytest.mark.slow
 def test_ray_driver_small(tmp_path, monkeypatch):
     from qiddm_tpu.cli import mnist_ray
 
@@ -132,10 +134,16 @@ def test_ray_driver_small(tmp_path, monkeypatch):
     # tune_results-style artifacts on disk
     results = list(pathlib.Path(tmp_path, "tune_results").rglob("result.json"))
     assert len(results) == 4
-    rec = json.loads(results[0].read_text().strip())
-    assert "ssim" in rec and "loss" in rec
+    recs = [json.loads(r.read_text().strip()) for r in results]
+    assert all("ssim" in r and "loss" in r and "early_stopped" in r
+               for r in recs)
+    # default halving (AsyncHyperBand analogue) stops some trials at the
+    # epoch-1 rung whenever a group has >1 trial
+    if any(r["training_iteration"] < 2 for r in recs):
+        assert any(r["early_stopped"] for r in recs)
 
 
+@pytest.mark.slow
 def test_vmap_labels_mode(tmp_path, monkeypatch):
     from qiddm_tpu.cli import mnist_exm
 
@@ -151,6 +159,7 @@ def test_vmap_labels_mode(tmp_path, monkeypatch):
         assert hits, f"missing checkpoint for label {label}"
 
 
+@pytest.mark.slow
 def test_checkpoint_every(tmp_path, monkeypatch):
     from qiddm_tpu.cli import mnist_exm
 
@@ -181,6 +190,7 @@ def test_per_model_lr_not_leaked():
     assert common.model_lr(args2, "QIDDM_LL_noise") == 0.5
 
 
+@pytest.mark.slow
 def test_noise_sweep_cache_roundtrip(tmp_path, monkeypatch, capsys):
     """Second sweep run must HIT the sampler-output cache (it used to look
     under noise_0 while writing under noise_<type>)."""

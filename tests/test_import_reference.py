@@ -79,6 +79,7 @@ def test_import_differn(emnist_ckpts):
     _sample_ok(net)
 
 
+@pytest.mark.slow
 def test_import_unet(emnist_ckpts):
     p = next(emnist_ckpts.rglob("unet_undirected_d3_s8_d0_noise_22.pt"))
     net = nn.UNetUndirected(3, 8, 0, img_shape=(28, 28))

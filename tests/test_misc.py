@@ -7,6 +7,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 from qiddm_tpu import data, nn
 from qiddm_tpu.ckpt import load_diffusion, save_diffusion
@@ -41,6 +42,7 @@ print("X64_OK", err)
     assert "X64_OK" in out.stdout, out.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_unet_diffusion_training_with_batchstats():
     """Classical UNet (the reference's U-net baseline) through the full
     jitted training scan — exercises mutable batch_stats threading."""

@@ -130,3 +130,98 @@ def test_differn_full_chain_vs_oracle():
         enc = np.stack(outs)  # (b, 2**wires) probs feed the next block
     want = np.clip(enc[:, :pixels] * pixels, 0, 1).reshape(b, 1, side, side)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_qiddm_ll_full_chain_vs_oracle():
+    """QIDDM_LL end to end vs the numpy oracle: Linear(pixels->hidden) ->
+    N blocks of L x (RZ reupload -> SEL(k, CZ)) -> <Z> readout -> Linear
+    back to pixels (reference nn/qdense.py:1567-1660, circuit :1299-1330)."""
+    import oracle
+
+    side, hidden, L, N, k = 4, 3, 2, 2, 2
+    pixels = side * side
+    net = nn.QIDDM_LL_noise(pixels, hidden, L, N, 0)
+    b = 5
+    x = np.asarray(RNG.uniform(size=(b, 1, side, side)), np.float32)
+    got = np.asarray(net(jnp.asarray(x)))
+
+    p = net.params
+    wd, bd = np.asarray(p["linear_down"]["kernel"]), np.asarray(
+        p["linear_down"]["bias"])
+    wu, bu = np.asarray(p["linear_up"]["kernel"]), np.asarray(
+        p["linear_up"]["bias"])
+    w = np.asarray(p["qweights"])  # (N, L, k, hidden, 3)
+    assert w.shape == (N, L, k, hidden, 3)
+
+    cur = x.reshape(b, -1) @ wd + bd
+    for n in range(N):
+        outs = []
+        for i in range(b):
+            state = np.zeros(2 ** hidden, complex)
+            state[0] = 1.0
+            for l in range(L):
+                state = oracle.rz_encode_state(state, cur[i, :hidden], hidden)
+                state = oracle.sel_matrix(w[n, l], hidden, "cz") @ state
+            outs.append(oracle.expval_z(state, hidden))
+        cur = np.stack(outs)
+    want = (cur @ wu + bu).reshape(b, 1, side, side)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_qdense_full_chain_vs_oracle():
+    """Qdense end to end vs the numpy oracle: amplitude embed (pad 0.1) ->
+    SEL(qw_tanh(w), CNOT ring, ranges cycling over the full depth) -> probs
+    -> truncate/scale/clamp (reference nn/qdense.py:15-68)."""
+    import oracle
+
+    side, qdepth = 4, 3
+    pixels = side * side
+    wires = 4  # ceil(log2(16))
+    net = nn.QDenseUndirected_old(qdepth, side)
+    b = 5
+    x = np.asarray(RNG.uniform(size=(b, 1, side, side)), np.float32)
+    got = np.asarray(net(jnp.asarray(x)))
+
+    w = np.pi * np.tanh(np.asarray(net.params["qweights"]))
+    u = oracle.sel_matrix(w, wires, "cnot")
+    outs = []
+    for i in range(b):
+        v = oracle.amplitude_embed(x[i].reshape(-1), wires, 0.1)
+        outs.append(oracle.probs(u @ v))
+    p = np.stack(outs)
+    want = np.clip(p[:, :pixels] * pixels, 0.0, 1.0).reshape(
+        b, 1, side, side)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_qconv_full_chain_vs_oracle():
+    """QConv2d's intended (live-circuit) path vs the numpy oracle:
+    torch-Unfold patches +0.1 -> amplitude embed (pad 0.5) ->
+    SEL(qw_tanh(w), CNOT) -> probs -> scale/clamp, stride-2 slice, channel
+    truncation (reference nn/qconv.py:51-126)."""
+    import oracle
+
+    from qiddm_tpu.nn.qconv import QConv2d
+
+    b, h_in, w_in, cout, qdepth = 3, 5, 5, 4, 2
+    m = QConv2d(in_channels=1, out_channels=cout, kernel_size=(3, 3),
+                padding=(1, 1), qdepth=qdepth)
+    x = np.asarray(RNG.uniform(size=(b, 1, h_in, w_in)), np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(jax.jit(m.apply)(variables, jnp.asarray(x)))
+
+    wires = 4  # ceil(log2(3*3*1)) = 4
+    w = np.pi * np.tanh(np.asarray(variables["params"]["qweights"]))
+    u = oracle.sel_matrix(w, wires, "cnot")
+    xp = np.pad(x[:, 0], ((0, 0), (1, 1), (1, 1)))
+    want = np.zeros((b, cout, h_in, w_in), np.float64)
+    dim = 2 ** wires
+    for i in range(b):
+        for r in range(h_in):
+            for c in range(w_in):
+                feat = xp[i, r:r + 3, c:c + 3].reshape(-1) + 0.1
+                v = oracle.amplitude_embed(feat, wires, 0.5)
+                p = oracle.probs(u @ v)
+                q = np.clip(p * dim * 0.5, 0.0, 1.0)[::2][:cout]
+                want[i, :, r, c] = q
+    np.testing.assert_allclose(got, want, atol=2e-4)

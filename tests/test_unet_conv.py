@@ -4,6 +4,7 @@ import flax.linen  # noqa: F401  (ensure flax importable before models)
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qiddm_tpu import nn as qnn
 from qiddm_tpu.nn.qconv import QConv2d
@@ -44,6 +45,7 @@ def test_qconv_quantum_path_is_live():
     np.testing.assert_allclose(np.asarray(y1c), np.asarray(y2c))
 
 
+@pytest.mark.slow
 def test_unet_classical_forward_and_train_shapes():
     net = qnn.UNetUndirected(3, 8, 0, img_shape=(28, 28))
     assert net.save_name() == "unet_undirected_d3_s8_d0"
