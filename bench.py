@@ -1,13 +1,18 @@
 """Benchmark: diffusion training throughput vs the reference baseline.
 
-Reproduces the reference's only quantitative baseline (BASELINE.md): the
-tune_results sweep config — QIDDM-A (differN family) on MNIST-28, label 4,
-ds_size=500 (~40 train images), tau=10, 30 epochs, batch 8 — which the
-reference trains at ~2.3 images/s (~26 denoiser fwd+bwd steps/s) on a laptop
-CPU. Here the whole 30-epoch run is one compiled TPU program.
+Primary metric (stdout, ONE JSON line — the driver contract): the
+reference's only quantitative baseline (BASELINE.md), the tune_results
+sweep config — QIDDM-A (differN family) on MNIST-28, label 4, ds_size=500
+(~40 train images), tau=10, 30 epochs, batch 8 — which the reference trains
+at ~2.3 images/s (~26 denoiser fwd+bwd steps/s) on a laptop CPU. Here the
+whole 30-epoch run is one compiled TPU program.
 
-Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N/2.3}
+
+``--suite`` additionally benches the flagship driver default (QIDDM_LL_noise
+784/6/14/2, the mnist_exm model, at its batch_size=1 driver config), batch
+sampling throughput, and a roofline utilization estimate for the dominant
+kernel; results go to results/benchmarks.json and stderr.
 """
 
 import json
@@ -15,10 +20,24 @@ import sys
 import time
 
 REFERENCE_IMAGES_PER_SEC = 2.3  # BASELINE.md derived throughput
+# reference sampling: test() runs tau_test=15 denoise iterations over 10
+# images in the same per-forward regime as training (~26 denoiser fwd/s on
+# its CPU) -> ~26/15 ~= 1.7 images/s end-to-end sampling
+REFERENCE_SAMPLE_IMAGES_PER_SEC = 1.7
+
+# TPU v5e (1 chip) peaks for the roofline estimate
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
 
 
-def main(epochs: int = 30, batch_size: int = 8, tau: int = 10,
-         L: int = 9, N: int = 2):
+def _sync(x):
+    import numpy as np
+
+    return np.asarray(x)  # axon: host fetch is the only reliable sync
+
+
+def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
+                  L: int = 9, N: int = 2):
     import jax
 
     from qiddm_tpu import data, nn
@@ -41,20 +60,134 @@ def main(epochs: int = 30, batch_size: int = 8, tau: int = 10,
 
     n_images = n_train * epochs
     img_per_s = n_images / wall
-    # each image's tau+1-row chain yields tau denoiser fwd+bwd pairs
-    steps_per_s = n_images * tau / wall
-    result = {
+    steps = n_images // batch_size
+    detail = (f"{n_images} images ({n_train} x {epochs} epochs), "
+              f"wall={wall:.4f}s, setup={setup_s:.1f}s (compile+warmup), "
+              f"denoiser-steps/s={n_images * tau / wall:.0f}, "
+              f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    util = _reupload_roofline(
+        batch=batch_size * (tau + 1), wires=net.module.hidden,
+        L=net.module.L, k=net.module.k, N=net.module.N,
+        steps_per_s=steps / wall)
+    return {
         "metric": "train_images_per_sec_mnist28_qiddm_a",
         "value": round(img_per_s, 1),
         "unit": "images/s",
         "vs_baseline": round(img_per_s / REFERENCE_IMAGES_PER_SEC, 1),
+    }, detail, util
+
+
+def _reupload_roofline(batch, wires, L, k, N, steps_per_s):
+    """Roofline estimate for the dominant kernel (the fused gate-chain over
+    the re-uploading circuit), per optimizer step.
+
+    Gate-level math (sim/pallas_gate_kernel.py): per spectrum layer, one
+    diagonal encode (6 flops/amp complex multiply) + k x [wires Rot gates
+    (a 2x2 complex matmul per amplitude pair: ~16 flops/amp) + a diagonal
+    CZ ring (2 flops/amp)]. Backward re-traverses the chain with the
+    inverse unitaries (~2x forward work). The chain state is
+    VMEM-resident; HBM traffic is O(batch * d) once per step plus weights.
+    """
+    d = 2 ** wires
+    per_amp = L * (6 + k * (wires * 16 + 2))
+    fwd_flops = N * batch * d * per_amp
+    total = 3.0 * fwd_flops * steps_per_s  # fwd + ~2x bwd
+    hbm = 3.0 * (batch * d * 8 * 2) * steps_per_s  # c64 state in+out
+    return {
+        "achieved_gflops": round(total / 1e9, 1),
+        "pct_of_v5e_bf16_peak": round(100 * total / V5E_PEAK_BF16_FLOPS, 3),
+        "achieved_hbm_gbps_lower_bound": round(hbm / 1e9, 2),
+        "note": ("gate-level sim is elementwise (VPU/VMEM-bound), not MXU "
+                 "matmul work; see DESIGN.md roofline section"),
     }
-    print(json.dumps(result))
-    print(f"# {n_images} images ({n_train} x {epochs} epochs), "
-          f"wall={wall:.4f}s, setup={setup_s:.1f}s (compile+warmup), "
-          f"denoiser-steps/s={steps_per_s:.0f}, "
-          f"loss {losses[0]:.4f} -> {losses[-1]:.4f}, "
-          f"device={jax.devices()[0].platform}", file=sys.stderr)
+
+
+def bench_qiddm_ll_flagship(epochs: int = 50):
+    """The mnist_exm driver's default model at its default config
+    (QIDDM_LL_noise 784/6/14/2, batch_size=1, lr=0.0255, tau=10 — reference
+    src/mnist_exm.py:46,120)."""
+    import jax
+
+    from qiddm_tpu import data, nn
+    from qiddm_tpu.diffusion import Diffusion
+    from qiddm_tpu.train import train_diffusion_scan
+    x, y, h, w = data.mnist_28x28(n_classes=10, ds_size=500)
+    x = x[y == 4]
+    x = x[: int(len(x) * 0.8)]
+
+    net = nn.QIDDM_LL_noise(784, 6, 14, 2, 0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w))
+    losses, wall = train_diffusion_scan(
+        diff, x, epochs=epochs, batch_size=1, lr=0.0255, T=10,
+        key=jax.random.PRNGKey(42))
+    n_images = len(x) * epochs
+    return {
+        "metric": "train_images_per_sec_mnist28_qiddm_ll_flagship_bs1",
+        "value": round(n_images / wall, 1),
+        "unit": "images/s",
+        "vs_baseline": round(n_images / wall / REFERENCE_IMAGES_PER_SEC, 1),
+    }, (f"{n_images} images, wall={wall:.3f}s, "
+        f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+
+def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5):
+    """Batched sampling throughput on the flagship (serving path,
+    cli/sample.py): images fully denoised per second, tau_test=15."""
+    import jax
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.diffusion import Diffusion
+
+    net = nn.QIDDM_LL_noise(784, 6, 14, 2, 0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(28, 28))
+    key = jax.random.PRNGKey(7)
+    first_x = jax.random.uniform(key, (batch, 1, 28, 28)) * 0.75 + 0.5
+    _sync(diff.sample(first_x=first_x, n_iters=iters, only_last=True))
+    t0 = time.time()
+    for _ in range(reps):
+        out = diff.sample(first_x=first_x, n_iters=iters, only_last=True)
+    _sync(out)
+    wall = (time.time() - t0) / reps
+    v = batch / wall
+    return {
+        "metric": "sample_images_per_sec_qiddm_ll_tau15",
+        "value": round(v, 1),
+        "unit": "images/s",
+        "vs_baseline": round(v / REFERENCE_SAMPLE_IMAGES_PER_SEC, 1),
+    }, f"batch={batch}, {iters} denoise iters, wall/rep={wall * 1e3:.1f}ms"
+
+
+def main(argv=None):
+    import argparse
+    import pathlib
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--suite", action="store_true",
+                    help="run the full bench suite (writes "
+                         "results/benchmarks.json)")
+    args = ap.parse_args(argv)
+
+    primary, detail, util = bench_qiddm_a()
+    print(json.dumps(primary))
+    print(f"# {detail}", file=sys.stderr)
+    print(f"# roofline: {json.dumps(util)}", file=sys.stderr)
+
+    if args.suite:
+        import jax
+
+        suite = [dict(primary, roofline=util)]
+        for fn in (bench_qiddm_ll_flagship, bench_sampling):
+            rec = fn()
+            suite.append(dict(rec[0], detail=rec[1]))
+            print(f"# {rec[0]['metric']}: {rec[0]['value']} "
+                  f"{rec[0]['unit']} ({rec[1]})", file=sys.stderr)
+        out = pathlib.Path("results/benchmarks.json")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps({
+            "device": jax.devices()[0].platform,
+            "suite": suite,
+        }, indent=2))
+        print(f"# wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

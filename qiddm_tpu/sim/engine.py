@@ -132,9 +132,7 @@ def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
         raise ValueError(
             f"{x.shape[-1]} features do not fit in {wires} wires"
         )
-    import jax
-
-    from .sel import _entangled_layers
+    from .sel import sel_apply_gates
 
     w = WEIGHT_MAPS[weight_map](weights)
     states = amplitude_embed(x, wires, pad_with=pad_with, dtype=cdtype)
@@ -142,15 +140,12 @@ def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
         u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
         states = apply_unitary(states, u)
     else:
-        # batch < state dim: applying per-layer unitaries to the batch is
-        # O(depth b d^2) vs O(depth d^3) for composition. Ranges cycle over
-        # the full depth (one deep template, not per-block restarts).
-        lus = _entangled_layers(w, imprimitive).astype(cdtype)
-
-        def body(states, u):
-            return apply_unitary(states, u), None
-
-        states, _ = jax.lax.scan(body, states, lus)
+        # batch < state dim: gate-by-gate application is O(depth w b d) vs
+        # O(depth d^2 (assembly + b)) for per-layer unitaries — measured
+        # 3.4x faster fwd+bwd at (depth=60, wires=10, b=11) on the v5e
+        # (DESIGN.md "gate-level vs unitary"). Ranges cycle over the full
+        # depth (one deep template, not per-block restarts).
+        states = sel_apply_gates(states, w, imprimitive=imprimitive)
     if noise is None or noise.kind == "phase_shift":
         # phase shift is diagonal: probs unchanged — skip it entirely.
         return probs(states)
@@ -326,17 +321,26 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
         cdtype = _cfg.complex_dtype()
     wires = x.shape[-1]
     w = WEIGHT_MAPS[weight_map](weights)
-    u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
     x = _encode_angles(x, encode, noise)
 
     if not _needs_dm(noise):
+        from .sel import sel_apply_gates
+
         if encode == "ry":
             states = ry_product_state(x, wires, dtype=cdtype)
         else:
             states = zero_state(x.shape[0], wires, dtype=cdtype) * rz_phases(x, wires)
-        states = apply_unitary(states, u)
+        if x.shape[0] >= 2**wires:
+            u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
+            states = apply_unitary(states, u)
+        else:
+            # small batch: gate-by-gate (same measured trade-off as
+            # qdense_circuit above)
+            states = sel_apply_gates(states, w, imprimitive=imprimitive)
         # (a trailing phase_shift is diagonal: probs/Z-expectations unchanged)
         return probs(states) if readout == "probs" else expval_z(states)
+
+    u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
 
     kraus = _kraus_array(noise, cdtype)
     if encode == "ry":

@@ -195,6 +195,50 @@ def sel_unitaries(weights, imprimitive: str = "cz"):
     return u
 
 
+def sel_apply_gates(states, weights, imprimitive: str = "cnot"):
+    """Apply SEL gate-by-gate under a ``lax.scan`` over layers.
+
+    The small-batch fast path: per layer it does ``wires`` single-qubit
+    applies (O(B d) each) plus one ring (diagonal multiply for CZ, row
+    gather for CNOT) — O(layers * wires * B * d) total, vs the per-layer
+    unitary path's O(layers * d^2 * (assembly + B)) — with O(1) program
+    size in ``layers``. Used by qdense_circuit when batch << 2**wires
+    (measured on TPU: see DESIGN.md "gate-level vs unitary").
+    """
+    import jax
+
+    from .statevector import apply_1q
+
+    layers, wires, _ = weights.shape
+    mats = rot_matrix(weights[..., 0], weights[..., 1],
+                      weights[..., 2]).astype(states.dtype)
+    ranges = sel_ranges(layers, wires)
+    if wires == 1:
+        ring = jnp.zeros((layers, 1))
+    elif imprimitive == "cz":
+        ring = jnp.asarray(
+            np.stack([cz_ring_signs(wires, r) for r in ranges]))
+    elif imprimitive == "cnot":
+        ring = jnp.asarray(
+            np.stack([cnot_ring_perm(wires, r) for r in ranges]))
+    else:
+        raise ValueError(f"unknown imprimitive {imprimitive!r}")
+
+    def body(states, inp):
+        m, r = inp
+        for j in range(wires):
+            states = apply_1q(states, m[j], j, wires)
+        if wires > 1:
+            if imprimitive == "cz":
+                states = states * r[None, :].astype(states.dtype)
+            else:
+                states = jnp.take(states, r, axis=1)
+        return states, None
+
+    states, _ = jax.lax.scan(body, states, (mats, ring))
+    return states
+
+
 def sel_apply_direct(states, weights, imprimitive: str = "cnot"):
     """Apply SEL gate-by-gate to a batch of states (no composition).
 

@@ -160,6 +160,142 @@ def make_sel_program(spec: ShardedState, layers: int, imprimitive: str = "cz"):
     return jax.jit(fn)
 
 
+def make_reupload_program(spec: ShardedState, L: int, k: int, *,
+                          imprimitive: str = "cz", encode: str = "rz",
+                          readout: str = "expvalz", dtype=jnp.complex64):
+    """Batched re-uploading block over the mesh — the engine's
+    ``reupload_block`` semantics (L x (per-wire encode -> SEL(k))) for
+    statevectors too large for one chip.
+
+    Returns a jittable ``f(x_enc (B, wires), weights (L, k, wires, 3)) ->``
+    ``(B, wires)`` expvals (replicated) or ``(B, 2**wires)`` probs (sharded
+    on the last axis). The batch is replicated; the state dimension shards
+    over ``spec.axis``. RZ encoding is diagonal, hence comm-free; rotation
+    gates on sharded wires cost one pairwise ``ppermute`` each.
+    """
+    wires, s_bits = spec.wires, spec.shard_bits
+    local_wires, n_dev, axis = spec.local_wires, spec.n_dev, spec.axis
+    dim_local = 2**local_wires
+    ranges = sel_ranges(k, wires)  # restart per spectrum layer (engine.py)
+
+    # (dim_local, local_wires) sign table for the local wires
+    signs_local = jnp.asarray(z_sign_table(local_wires), jnp.float32)
+
+    def body(x_enc, weights):
+        B = x_enc.shape[0]
+        dev = jax.lax.axis_index(axis)
+
+        def bit_of_dev(j):
+            return (dev >> (s_bits - 1 - j)) & 1
+
+        def global_bits(j):  # (dim_local,) or scalar broadcastable
+            if j < s_bits:
+                return bit_of_dev(j)
+            pos = local_wires - 1 - (j - s_bits)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (dim_local,), 0)
+            return (idx >> pos) & 1
+
+        x = x_enc
+        if encode == "rz_halfpi":
+            x = (jnp.pi * 0.5) * x
+
+        def encode_states(local):
+            # RZ phase angle: -0.5 * sum_j sign_j(i) * x_j (statevector.py
+            # rz_phases convention). Device bits give a per-(B,) scalar,
+            # local bits a (B, dim_local) matmul.
+            ang = jnp.zeros((B,), jnp.float32)
+            for j in range(s_bits):
+                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(jnp.float32)
+                ang = ang - 0.5 * sign * x[:, j]
+            ang_local = -0.5 * jnp.matmul(x[:, s_bits:], signs_local.T)
+            total = ang[:, None] + ang_local  # (B, dim_local)
+            return local * jnp.exp(1j * total.astype(jnp.complex64)).astype(
+                local.dtype)
+
+        def apply_1q_any(local, gate, j):
+            if j >= s_bits:
+                tl = j - s_bits
+                left = 2**tl
+                right = 2 ** (local_wires - tl - 1)
+                st = local.reshape(B, left, 2, right)
+                out = jnp.einsum("xy,blyr->blxr", gate, st)
+                return out.reshape(B, -1)
+            bit = 1 << (s_bits - 1 - j)
+            perm = [(i, i ^ bit) for i in range(n_dev)]
+            other = jax.lax.ppermute(local, axis, perm)
+            b = bit_of_dev(j)
+            mine0 = gate[0, 0] * local + gate[0, 1] * other
+            mine1 = gate[1, 0] * other + gate[1, 1] * local
+            return jnp.where(b == 0, mine0, mine1)
+
+        def apply_cz(local, c, t):
+            sign = 1.0 - 2.0 * (global_bits(c) * global_bits(t))
+            return local * sign.astype(local.real.dtype)
+
+        def apply_cnot(local, c, t):
+            cbits = jnp.broadcast_to(global_bits(c), (dim_local,))
+            if t >= s_bits:
+                tl = t - s_bits
+                left = 2**tl
+                right = 2 ** (local_wires - tl - 1)
+                st = local.reshape(B, left, 2, right)
+                flipped = st[:, :, ::-1, :].reshape(B, -1)
+                return jnp.where(cbits[None, :] == 1, flipped, local)
+            bit = 1 << (s_bits - 1 - t)
+            perm = [(i, i ^ bit) for i in range(n_dev)]
+            other = jax.lax.ppermute(local, axis, perm)
+            return jnp.where(cbits[None, :] == 1, other, local)
+
+        # |0...0> lives in device 0's shard
+        local = jnp.zeros((B, dim_local), dtype)
+        local = jnp.where(dev == 0, local.at[:, 0].set(1.0), local)
+
+        for l in range(L):
+            local = encode_states(local)
+            for kk in range(k):
+                mats = rot_matrix(weights[l, kk, :, 0], weights[l, kk, :, 1],
+                                  weights[l, kk, :, 2]).astype(dtype)
+                for j in range(wires):
+                    local = apply_1q_any(local, mats[j], j)
+                if wires > 1:
+                    r = ranges[kk]
+                    for j in range(wires):
+                        t = (j + r) % wires
+                        if imprimitive == "cz":
+                            local = apply_cz(local, j, t)
+                        else:
+                            local = apply_cnot(local, j, t)
+
+        p = jnp.real(local) ** 2 + jnp.imag(local) ** 2
+        if readout == "probs":
+            return p
+        out = []
+        for j in range(wires):
+            if j < s_bits:
+                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(p.dtype)
+                out.append(sign * jnp.sum(p, axis=1))
+            else:
+                out.append(jnp.matmul(p, signs_local[:, j - s_bits].astype(
+                    p.dtype)))
+        return jax.lax.psum(jnp.stack(out, axis=1), axis)
+
+    out_spec = P(None, axis) if readout == "probs" else P()
+    fn = jax.shard_map(body, mesh=spec.mesh, in_specs=(P(), P()),
+                       out_specs=out_spec)
+    return jax.jit(fn)
+
+
+def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
+                           imprimitive: str = "cz", encode: str = "rz",
+                           readout: str = "expvalz", dtype=jnp.complex64):
+    """One-call form of make_reupload_program for engine routing."""
+    L, k, wires, _ = block_weights.shape
+    spec = ShardedState(wires, mesh, axis)
+    fn = make_reupload_program(spec, L, k, imprimitive=imprimitive,
+                               encode=encode, readout=readout, dtype=dtype)
+    return fn(x_enc, block_weights)
+
+
 def probs_sharded(spec: ShardedState, state):
     """Full probability vector, still sharded (2**wires,) -> host gathers
     only if asked."""

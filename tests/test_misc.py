@@ -111,8 +111,11 @@ def test_bench_path_smoke(capsys):
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
     import bench
 
-    bench.main(epochs=2, batch_size=8, tau=2, L=2, N=1)
-    line = capsys.readouterr().out.strip().split("\n")[0]
-    rec = json.loads(line)
+    rec, detail, util = bench.bench_qiddm_a(epochs=2, batch_size=8, tau=2,
+                                            L=2, N=1)
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["value"] > 0
+    assert "images" in detail
+    assert util["achieved_gflops"] > 0 and "pct_of_v5e_bf16_peak" in util
+    # the driver contract: main() prints the primary record as ONE JSON line
+    json.dumps(rec)

