@@ -171,12 +171,18 @@ def _encode_angles(x, encode: str, noise: Optional[NoiseModel]):
 def reupload_block(x_enc, block_weights, *, encode: str = "rz",
                    imprimitive: str = "cz",
                    noise: Optional[NoiseModel] = None,
-                   readout: str = "probs", cdtype=None):
+                   readout: str = "probs", cdtype=None, mesh=None,
+                   mesh_axis: str = "data"):
     """One N-block: L x (encode -> SEL(k)) -> readout.
 
     x_enc: (batch, wires) encoding angles (re-uploaded in every spectrum
     layer, reference nn/qdense.py:1302-1305); block_weights: (L, k, wires, 3).
     readout: "probs" -> (batch, 2**w) or "expvalz" -> (batch, wires).
+
+    With ``mesh``, the statevector dimension shards over ``mesh[mesh_axis]``
+    (sim/sharded.py) — the scaling route for wire counts beyond single-chip
+    memory (the reference caps at 10 wires; the sharded path is tested to
+    16). Noise channels are not supported on the sharded path.
     """
     import jax
 
@@ -189,6 +195,25 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     L, k, wires, _ = block_weights.shape
     batch = x_enc.shape[0]
     dim = 2**wires
+
+    if mesh is not None:
+        if _needs_dm(noise):
+            raise NotImplementedError(
+                "noise channels are not supported on the mesh-sharded "
+                "statevector path")
+        from .sharded import reupload_block_sharded
+
+        # the sharded program applies the halfpi scaling itself; only the
+        # encode-placement rot_angle offset happens here
+        x_shard = x_enc
+        if (noise is not None and noise.kind == "rot_angle"
+                and noise.placement == "encode"):
+            x_shard = x_shard + noise.strength
+        return reupload_block_sharded(
+            x_shard, block_weights, mesh, axis=mesh_axis,
+            imprimitive=imprimitive, encode=encode, readout=readout,
+            dtype=cdtype)
+
     x_enc = _encode_angles(x_enc, encode, noise)
 
     if not _needs_dm(noise):

@@ -173,6 +173,10 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     over ``spec.axis``. RZ encoding is diagonal, hence comm-free; rotation
     gates on sharded wires cost one pairwise ``ppermute`` each.
     """
+    if encode not in ("rz", "rz_halfpi"):
+        raise NotImplementedError(
+            f"sharded reupload supports diagonal (RZ) encodings only, "
+            f"got {encode!r}")
     wires, s_bits = spec.wires, spec.shard_bits
     local_wires, n_dev, axis = spec.local_wires, spec.n_dev, spec.axis
     dim_local = 2**local_wires

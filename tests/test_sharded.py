@@ -132,3 +132,20 @@ def test_sharded_reupload_16_wires_smoke():
     ev = np.asarray(reupload_block_sharded(x, w, mesh))
     assert ev.shape == (B, wires)
     assert np.all(np.isfinite(ev)) and np.all(np.abs(ev) <= 1.0 + 1e-5)
+
+
+def test_engine_reupload_mesh_route():
+    """engine.reupload_block(mesh=...) routes to the sharded program and
+    matches the dense path."""
+    from qiddm_tpu.sim import engine
+
+    mesh = make_mesh(8, ("data",))
+    w = jnp.asarray(RNG.normal(size=(2, 2, 5, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(4, 5)), jnp.float32)
+    got = np.asarray(engine.reupload_block(x, w, readout="expvalz",
+                                           mesh=mesh))
+    want = np.asarray(engine.reupload_block(x, w, readout="expvalz"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    with pytest.raises(NotImplementedError):
+        engine.reupload_block(x, w, encode="ry", readout="expvalz",
+                              mesh=mesh)
