@@ -11,8 +11,10 @@ whole 30-epoch run is one compiled TPU program.
 
 ``--suite`` additionally benches the flagship driver default (QIDDM_LL_noise
 784/6/14/2, the mnist_exm model, at its batch_size=1 driver config), batch
-sampling throughput, and a roofline utilization estimate for the dominant
-kernel; results go to results/benchmarks.json and stderr.
+sampling throughput, the density-matrix noise-sweep path, a 16-wire
+training run beyond the reference's 10-wire ceiling, and a roofline
+utilization estimate for the dominant kernel; results go to
+results/benchmarks.json and stderr.
 """
 
 import json
@@ -157,6 +159,88 @@ def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5):
     }, f"batch={batch}, {iters} denoise iters, wall/rep={wall * 1e3:.1f}ms"
 
 
+def bench_noise_dm_sampling(batch: int = 10, iters: int = 15, reps: int = 3,
+                            size: int = 28, hidden: int = 8, L: int = 6,
+                            N: int = 2):
+    """Density-matrix test-time path: the *_noise drivers' sweep workload
+    (train clean, test with channels injected — reference
+    src/mnist_noise.py:214-230). QIDDM_PL_noise (8 wires) with amplitude
+    damping at intensity 0.05: every denoise step simulates the full
+    2^16-element density matrix per sample."""
+    import jax
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.cli.common import with_noise
+    from qiddm_tpu.diffusion import Diffusion
+
+    net = with_noise(nn.QIDDM_PL_noise(size * size, hidden, L, N, 0), 2, 0.05)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(size, size))
+    first_x = jax.random.uniform(
+        jax.random.PRNGKey(3), (batch, 1, size, size)) * 0.75 + 0.5
+    _sync(diff.sample(first_x=first_x, n_iters=iters, only_last=True))
+    t0 = time.time()
+    for _ in range(reps):
+        out = diff.sample(first_x=first_x, n_iters=iters, only_last=True)
+    _sync(out)
+    wall = (time.time() - t0) / reps
+    v = batch / wall
+    # the reference's noisy test path (default.mixed, per-sample Python
+    # loops) is strictly slower than its clean sampling; 1.7 img/s is a
+    # conservative upper bound on its throughput here
+    return {
+        "metric": "sample_images_per_sec_dm_amplitude_damping",
+        "value": round(v, 1),
+        "unit": "images/s",
+        "vs_baseline": round(v / REFERENCE_SAMPLE_IMAGES_PER_SEC, 1),
+    }, (f"batch={batch}, {iters} denoise iters on the density-matrix "
+        f"backend (8 wires), wall/rep={wall * 1e3:.1f}ms")
+
+
+def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
+                        batch: int = 8, steps: int = 50):
+    """Training-step throughput for a re-uploading block at 16 wires — a
+    2^16-amplitude statevector, beyond the reference's 10-wire ceiling
+    (SURVEY §5.7: its widest circuit is 10 wires; PennyLane warns above
+    that). One chip, fused gate-chain kernel, full fwd+bwd per step."""
+    import jax
+    import jax.numpy as jnp
+
+    from qiddm_tpu.sim.engine import reupload_block
+
+    kw = jax.random.PRNGKey(0)
+    w0 = jax.random.normal(kw, (L, k, wires, 3), jnp.float32) * 0.4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, wires))
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (batch, wires))
+
+    def loss_fn(w):
+        out = reupload_block(x, w, encode="rz", imprimitive="cz",
+                             readout="expvalz")
+        return jnp.mean((out - tgt) ** 2)
+
+    @jax.jit
+    def run(w):
+        def body(w, _):
+            loss, g = jax.value_and_grad(loss_fn)(w)
+            return w - 0.01 * g, loss
+
+        return jax.lax.scan(body, w, None, length=steps)
+
+    _sync(run(w0)[1])  # compile + warmup
+    t0 = time.time()
+    _, losses = run(w0)
+    losses = _sync(losses)
+    wall = time.time() - t0
+    v = steps / wall
+    return {
+        "metric": f"train_steps_per_sec_reupload_{wires}wires",
+        "value": round(v, 1),
+        "unit": "steps/s",
+        "vs_baseline": None,
+    }, (f"{steps} fwd+bwd steps at wires={wires} (d=2^{wires}), L={L}, "
+        f"k={k}, batch={batch}; loss {losses[0]:.4f} -> {losses[-1]:.4f}; "
+        f"no reference baseline — beyond its 10-wire ceiling")
+
+
 def main(argv=None):
     import argparse
     import pathlib
@@ -176,7 +260,8 @@ def main(argv=None):
         import jax
 
         suite = [dict(primary, roofline=util)]
-        for fn in (bench_qiddm_ll_flagship, bench_sampling):
+        for fn in (bench_qiddm_ll_flagship, bench_sampling,
+                   bench_noise_dm_sampling, bench_wide_reupload):
             rec = fn()
             suite.append(dict(rec[0], detail=rec[1]))
             print(f"# {rec[0]['metric']}: {rec[0]['value']} "

@@ -112,6 +112,28 @@ def _needs_dm(noise: Optional[NoiseModel]) -> bool:
     return noise is not None and not noise.is_unitary
 
 
+def _sel_small_batch(states, w, imprimitive: str, cdtype):
+    """Small-batch SEL application (batch < 2**wires): the fused Pallas
+    SEL-chain kernel on TPU/complex64 (states stay VMEM-resident for the
+    whole depth — covers CNOT and CZ rings), else gate-by-gate lax.scan
+    (CPU / x64 parity mode). Measured trade-offs: DESIGN.md §3."""
+    import jax
+
+    from .. import config as _config
+
+    if (_config.use_pallas() and jax.default_backend() == "tpu"
+            and cdtype == jnp.complex64):
+        from .gates import rot_matrix
+        from .pallas_gate_kernel import sel_chain_pallas
+
+        mats = rot_matrix(w[..., 0], w[..., 1], w[..., 2])
+        return sel_chain_pallas(states, mats, w.shape[1],
+                                imprimitive=imprimitive).astype(cdtype)
+    from .sel import sel_apply_gates
+
+    return sel_apply_gates(states, w, imprimitive=imprimitive)
+
+
 # ---------------------------------------------------------------------------
 # qdense family
 # ---------------------------------------------------------------------------
@@ -132,20 +154,19 @@ def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
         raise ValueError(
             f"{x.shape[-1]} features do not fit in {wires} wires"
         )
-    from .sel import sel_apply_gates
-
     w = WEIGHT_MAPS[weight_map](weights)
     states = amplitude_embed(x, wires, pad_with=pad_with, dtype=cdtype)
     if x.shape[0] >= 2**wires:
         u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
         states = apply_unitary(states, u)
     else:
-        # batch < state dim: gate-by-gate application is O(depth w b d) vs
+        # batch < state dim: gate-level application is O(depth w b d) vs
         # O(depth d^2 (assembly + b)) for per-layer unitaries — measured
         # 3.4x faster fwd+bwd at (depth=60, wires=10, b=11) on the v5e
+        # even in pure XLA, and the fused Pallas chain beats that again
         # (DESIGN.md "gate-level vs unitary"). Ranges cycle over the full
         # depth (one deep template, not per-block restarts).
-        states = sel_apply_gates(states, w, imprimitive=imprimitive)
+        states = _sel_small_batch(states, w, imprimitive, cdtype)
     if noise is None or noise.kind == "phase_shift":
         # phase shift is diagonal: probs unchanged — skip it entirely.
         return probs(states)
@@ -349,8 +370,6 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
     x = _encode_angles(x, encode, noise)
 
     if not _needs_dm(noise):
-        from .sel import sel_apply_gates
-
         if encode == "ry":
             states = ry_product_state(x, wires, dtype=cdtype)
         else:
@@ -359,9 +378,9 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
             u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
             states = apply_unitary(states, u)
         else:
-            # small batch: gate-by-gate (same measured trade-off as
+            # small batch: gate-level (same measured trade-off as
             # qdense_circuit above)
-            states = sel_apply_gates(states, w, imprimitive=imprimitive)
+            states = _sel_small_batch(states, w, imprimitive, cdtype)
         # (a trailing phase_shift is diagonal: probs/Z-expectations unchanged)
         return probs(states) if readout == "probs" else expval_z(states)
 

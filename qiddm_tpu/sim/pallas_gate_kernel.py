@@ -286,6 +286,220 @@ def _gate_chain_bwd(k, w, interpret, res, g):
 _gate_chain.defvjp(_gate_chain_fwd, _gate_chain_bwd)
 
 
+def _cnot_apply(sr, si, c: int, t: int, d: int, B: int, w: int):
+    """CNOT(control wire c, target wire t) on (d, B) planes: rows with the
+    control bit set take their target-bit partner's amplitude."""
+    tbit = 1 << (w - 1 - t)
+    is1_t = _wire_mask(t, d, B, w)
+    o_r, o_i = _partner(sr, si, tbit, is1_t)
+    mask_c = _wire_mask(c, d, B, w)
+    return jnp.where(mask_c, o_r, sr), jnp.where(mask_c, o_i, si)
+
+
+def _ring_apply(sr, si, q: int, w: int, is_cz: bool, sgn_ref, d, B,
+                inverse: bool = False):
+    """The layer's imprimitive ring (range r = q + 1, all bits static).
+
+    CZ rings are diagonal (self-inverse, order-free); CNOT rings apply
+    CNOT(j, (j+r) mod w) sequentially, so the inverse reverses gate order.
+    """
+    if w == 1:
+        return sr, si
+    if is_cz:
+        sg = sgn_ref[q]
+        return sr * sg, si * sg
+    r = q + 1
+    order = range(w - 1, -1, -1) if inverse else range(w)
+    for j in order:
+        sr, si = _cnot_apply(sr, si, j, (j + r) % w, d, B, w)
+    return sr, si
+
+
+def _ring_apply_dyn(sr, si, ridx, w: int, is_cz: bool, sgn_ref, d, B,
+                    inverse: bool = False):
+    """Ring for a TRACED in-period position ``ridx = l % (w-1)``.
+
+    CZ: sign plane selected with scalar predicates (as _select_signs).
+    CNOT: ``lax.switch`` over the w-1 static ring variants — alternatives,
+    so the kernel's stack holds ONE ring's temporaries, not all of them
+    (a statically unrolled period blew the 16M scoped-vmem limit at
+    w=10, B=11)."""
+    if w == 1:
+        return sr, si
+    p = w - 1
+    if is_cz:
+        sg = sgn_ref[0]
+        for q in range(1, p):
+            sg = jnp.where(ridx == q, sgn_ref[q], sg)
+        return sr * sg, si * sg
+    if p == 1:
+        return _ring_apply(sr, si, 0, w, is_cz, sgn_ref, d, B, inverse)
+    return jax.lax.switch(
+        ridx,
+        [functools.partial(_ring_apply, q=q, w=w, is_cz=is_cz,
+                           sgn_ref=sgn_ref, d=d, B=B, inverse=inverse)
+         for q in range(p)],
+        sr, si)
+
+
+def _sel_fwd_kernel(w: int, depth: int, is_cz: bool,
+                    sr0_ref, si0_ref, g_ref, sgn_ref, or_ref, oi_ref):
+    """ONE layer per fori_loop iteration (constant program size in depth,
+    minimal VMEM stack); the range cycle is resolved dynamically from
+    ``l % (w-1)``."""
+    d, B = sr0_ref.shape
+    p = max(w - 1, 1)
+
+    def body(l, carry):
+        sr, si = carry
+        for j in range(w):
+            sr, si = _gate_apply(sr, si, _read_g8(g_ref, l, j), j, d, B, w)
+        return _ring_apply_dyn(sr, si, l % p, w, is_cz, sgn_ref, d, B)
+
+    sr, si = jax.lax.fori_loop(0, depth, body, (sr0_ref[:], si0_ref[:]))
+    or_ref[:] = sr
+    oi_ref[:] = si
+
+
+def _sel_bwd_kernel(w: int, depth: int, is_cz: bool,
+                    sr0_ref, si0_ref, g_ref, sgn_ref, fr_ref, fi_ref,
+                    gr_ref, gi_ref, dg_ref, dsr_ref, dsi_ref):
+    d, B = fr_ref.shape
+    p = max(w - 1, 1)
+
+    def body(i, carry):
+        sr, si, cr, ci = carry
+        l = depth - 1 - i
+        ridx = l % p
+        sr, si = _ring_apply_dyn(sr, si, ridx, w, is_cz, sgn_ref, d, B,
+                                 inverse=True)
+        cr, ci = _ring_apply_dyn(cr, ci, ridx, w, is_cz, sgn_ref, d, B,
+                                 inverse=True)
+        for j in range(w - 1, -1, -1):
+            adj = _adjoint(_read_g8(g_ref, l, j))
+            sr, si = _gate_apply(sr, si, adj, j, d, B, w)
+            dg_ref[pl.ds(l, 1), j, :] = _plane_dg(
+                cr, ci, sr, si, j, d, B, w).reshape(1, 8)
+            cr, ci = _gate_apply(cr, ci, adj, j, d, B, w)
+        return sr, si, cr, ci
+
+    carry = (fr_ref[:], fi_ref[:], gr_ref[:], gi_ref[:])
+    _, _, cr, ci = jax.lax.fori_loop(0, depth, body, carry)
+    dsr_ref[:] = cr
+    dsi_ref[:] = ci
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sel_chain(sr, si, g8, w: int, is_cz: bool, interpret: bool):
+    return _sel_chain_fwd_call(sr, si, g8, w, is_cz, interpret)
+
+
+def _sel_signs(w: int, depth: int) -> jnp.ndarray:
+    p = max(w - 1, 1)
+    return jnp.asarray(np.stack(
+        [cz_ring_signs(w, (q + 1) if w > 1 else 0)[:, None]
+         for q in range(p)]).astype(np.float32))
+
+
+# the per-layer loop body (w gate applies + a ring) allocates transient
+# (d, B) planes on the kernel's VMEM stack; Mosaic's conservative liveness
+# puts the deep-chain worst case slightly over the 16M default scoped
+# limit (16.19M observed at w=10, B=11, depth=60) — raise it, the state
+# buffers themselves are tiny next to it
+_SEL_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _sel_chain_fwd_call(sr, si, g8, w, is_cz, interpret):
+    d, B = sr.shape
+    depth = g8.shape[0]
+    kern = functools.partial(_sel_fwd_kernel, w, depth, is_cz)
+    return pl.pallas_call(
+        kern,
+        compiler_params=_SEL_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sr, si, g8, _sel_signs(w, depth))
+
+
+def _sel_chain_fwd(sr, si, g8, w, is_cz, interpret):
+    out = _sel_chain_fwd_call(sr, si, g8, w, is_cz, interpret)
+    return out, (sr, si, g8, out[0], out[1])
+
+
+def _sel_chain_bwd(w, is_cz, interpret, res, g):
+    sr0, si0, g8, fr, fi = res
+    gr, gi = g
+    d, B = sr0.shape
+    depth = g8.shape[0]
+    kern = functools.partial(_sel_bwd_kernel, w, depth, is_cz)
+    dg, dsr, dsi = pl.pallas_call(
+        kern,
+        compiler_params=_SEL_COMPILER_PARAMS,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((depth, w, 8), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sr0, si0, g8, _sel_signs(w, depth), fr, fi, gr, gi)
+    return dsr, dsi, dg
+
+
+_sel_chain.defvjp(_sel_chain_fwd, _sel_chain_bwd)
+
+
+def sel_chain_pallas(states, rot_mats, wires: int, imprimitive: str = "cnot",
+                     interpret: bool = False):
+    """Fused SEL chain on an ARBITRARY initial state batch.
+
+    The Qdense/QNN-family counterpart of :func:`gate_chain_pallas`: no
+    re-encoding between layers, initial state supplied by the caller
+    (amplitude embedding / RY product states), imprimitive rings CNOT or CZ
+    with the full-depth range cycle ``r_l = (l mod (wires-1)) + 1``
+    (reference ``qml.StronglyEntanglingLayers`` defaults; SEL semantics in
+    sel.py). states: (B, d) complex; rot_mats: (depth, wires, 2, 2) complex.
+    Returns (B, d) complex. Differentiable in both inputs via a
+    reverse-walk backward kernel (adjoint-gate state reconstruction, zero
+    residual memory).
+    """
+    if imprimitive not in ("cnot", "cz"):
+        raise ValueError(f"unknown imprimitive {imprimitive!r}")
+    depth = rot_mats.shape[0]
+    g8 = jnp.stack([
+        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
+        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
+        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
+        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
+    ], axis=-1).astype(jnp.float32)  # (depth, wires, 8)
+    sr = jnp.real(states).astype(jnp.float32).T  # (d, B)
+    si = jnp.imag(states).astype(jnp.float32).T
+    out_r, out_i = _sel_chain(sr, si, g8, wires, imprimitive == "cz",
+                              interpret)
+    return (out_r + 1j * out_i).T
+
+
 def gate_chain_pallas(phases, rot_mats, k: int, wires: int,
                       interpret: bool = False):
     """Run the full re-uploading chain gate-by-gate, fused.

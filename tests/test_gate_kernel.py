@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qiddm_tpu import sim
 from qiddm_tpu.sim.gates import rot_matrix
@@ -50,6 +51,58 @@ def test_gate_kernel_gradients_match_engine():
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
                                atol=3e-5)
+
+
+def _sel_chain_setup(B=5, w=4, depth=5):
+    """Random normalized initial states + SEL weights (depth chosen to
+    exercise both the full-period loop and the static tail: p=3, rem=2)."""
+    wq = jnp.asarray(RNG.normal(size=(depth, w, 3)) * 0.4, jnp.float32)
+    st = RNG.normal(size=(B, 2**w)) + 1j * RNG.normal(size=(B, 2**w))
+    st = st / np.linalg.norm(st, axis=1, keepdims=True)
+    return wq, jnp.asarray(st, jnp.complex64)
+
+
+@pytest.mark.parametrize(
+    "imprimitive",
+    ["cnot", pytest.param("cz", marks=pytest.mark.slow)])
+def test_sel_chain_kernel_matches_direct(imprimitive):
+    from qiddm_tpu.sim.pallas_gate_kernel import sel_chain_pallas
+    from qiddm_tpu.sim.sel import sel_apply_direct
+
+    wq, st = _sel_chain_setup()
+    want = np.asarray(sel_apply_direct(st, wq, imprimitive=imprimitive))
+    mats = rot_matrix(wq[..., 0], wq[..., 1], wq[..., 2])
+    got = np.asarray(sel_chain_pallas(st, mats, 4, imprimitive=imprimitive,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "imprimitive",
+    ["cnot", pytest.param("cz", marks=pytest.mark.slow)])
+def test_sel_chain_kernel_gradients_match(imprimitive):
+    from qiddm_tpu.sim.pallas_gate_kernel import sel_chain_pallas
+    from qiddm_tpu.sim.sel import sel_apply_gates
+
+    wq, st = _sel_chain_setup(B=4, w=3, depth=4)
+    coeff = jnp.asarray(RNG.normal(size=(4, 2**3)), jnp.float32)
+    sr, si = jnp.real(st), jnp.imag(st)
+
+    def loss_kernel(wq, sr, si):
+        mats = rot_matrix(wq[..., 0], wq[..., 1], wq[..., 2])
+        out = sel_chain_pallas(sr + 1j * si, mats, 3,
+                               imprimitive=imprimitive, interpret=True)
+        return jnp.sum(coeff * (jnp.real(out) ** 2 + jnp.imag(out) ** 2))
+
+    def loss_engine(wq, sr, si):
+        out = sel_apply_gates((sr + 1j * si).astype(jnp.complex64), wq,
+                              imprimitive=imprimitive)
+        return jnp.sum(coeff * (jnp.real(out) ** 2 + jnp.imag(out) ** 2))
+
+    g1 = jax.grad(loss_engine, argnums=(0, 1, 2))(wq, sr, si)
+    g2 = jax.grad(loss_kernel, argnums=(0, 1, 2))(wq, sr, si)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
 def test_gate_kernel_k3():

@@ -119,3 +119,22 @@ def test_bench_path_smoke(capsys):
     assert util["achieved_gflops"] > 0 and "pct_of_v5e_bf16_peak" in util
     # the driver contract: main() prints the primary record as ONE JSON line
     json.dumps(rec)
+
+
+@pytest.mark.slow
+def test_bench_suite_extras_smoke():
+    """The suite-only benches run at tiny configs on CPU (the real configs
+    are TPU-sized: dm at 8 wires, gate chain at 16 wires)."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import bench
+
+    rec, detail = bench.bench_noise_dm_sampling(
+        batch=2, iters=2, reps=1, size=8, hidden=4, L=2, N=1)
+    assert rec["value"] > 0 and "density-matrix" in detail
+
+    rec, detail = bench.bench_wide_reupload(wires=5, L=2, k=2, batch=3,
+                                            steps=3)
+    assert rec["value"] > 0 and rec["vs_baseline"] is None
+    assert "loss" in detail

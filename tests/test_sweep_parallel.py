@@ -68,13 +68,13 @@ def test_sweep_successive_halving(tmp_path):
     res = sweep_lr(
         lambda s: nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=s),
         lrs=[1e-5, 0.005, 0.02, 0.04],
-        x_train=x, shape=(h, w), epochs=6, batch_size=8, T=3,
+        x_train=x, shape=(h, w), epochs=4, batch_size=8, T=3,
         rungs=[0.5], sample_iters=4, seed=1,
     )
-    # all trials have metrics; the kept half trained 6 epochs, dropped 3
+    # all trials have metrics; the kept half trained 4 epochs, dropped 2
     assert np.all(np.isfinite(res.ssim))
     trained_all = (res.loss_curves != 0).sum(axis=1)
-    assert sorted(trained_all)[0] == 3 and sorted(trained_all)[-1] == 6
+    assert sorted(trained_all)[0] == 2 and sorted(trained_all)[-1] == 4
 
 
 def test_mesh_data_parallel_training_matches_shapes():
