@@ -54,6 +54,25 @@ def matmul_precision() -> str:
 # force the pure-XLA path (e.g. for A/B benchmarking).
 _USE_PALLAS = True
 
+# The fused gate-chain kernel keeps the full (2**w, B) state planes plus
+# per-gate temporaries in scoped VMEM; measured on v5e (16M scoped limit):
+# w=10 compiles fine at any reference depth (L=14, k=2), w=11+ OOMs
+# (18.2M scoped) independent of depth, and w=16 additionally hits
+# pathological Mosaic compile times. Above this cap the engine uses the
+# gate-level XLA path instead (same O(L k w B d) work, scan-structured
+# program: 24 s compile + 240 ms/step fwd+bwd at w=16). The reference's
+# own circuits never exceed 10 wires (PennyLane warns above that).
+_PALLAS_MAX_WIRES = 10
+
+
+def set_pallas_max_wires(w: int) -> None:
+    global _PALLAS_MAX_WIRES
+    _PALLAS_MAX_WIRES = w
+
+
+def pallas_max_wires() -> int:
+    return _PALLAS_MAX_WIRES
+
 
 def set_use_pallas(on: bool) -> None:
     global _USE_PALLAS

@@ -254,6 +254,7 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             not compose and _config.use_pallas() and on_tpu
             and encode in ("rz", "rz_halfpi") and imprimitive == "cz"
             and cdtype == jnp.complex64  # kernels carry float32 planes
+            and wires <= _config.pallas_max_wires()  # Mosaic compile cap
         )
         if use_gate_kernel:
             from .gates import rot_matrix
@@ -266,6 +267,34 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             if readout == "probs":
                 return probs(states)
             return expval_z(states)
+        # Wide circuits: the per-layer-unitary fallback materializes
+        # (L, k, d, d) — ~4 GB at 12 wires, 1 TB at 16 — so beyond the
+        # Pallas cap apply SEL gate-by-gate instead: O(L k w B d) work
+        # and O(L k w) weight memory, structured as scan-over-L so the
+        # program size is constant in depth. This is the single-chip wide
+        # path; the mesh-sharded path (mesh=...) layers on top of it.
+        if not compose and wires > _config.pallas_max_wires():
+            from .sel import sel_apply_gates
+
+            states = zero_state(batch, wires, dtype=cdtype)
+            if encode in ("rz", "rz_halfpi"):
+                phases = rz_phases(x_enc, wires)
+
+            def gate_body(states, w_l):  # w_l: (k, wires, 3)
+                if encode in ("rz", "rz_halfpi"):
+                    states = states * phases
+                else:
+                    from .statevector import apply_ry_all
+
+                    states = apply_ry_all(states, x_enc)
+                return sel_apply_gates(states, w_l,
+                                       imprimitive=imprimitive), None
+
+            states, _ = jax.lax.scan(gate_body, states, block_weights)
+            if readout == "probs":
+                return probs(states)
+            return expval_z(states)
+
         if compose:
             us = sel_unitaries(block_weights,
                                imprimitive=imprimitive).astype(cdtype)

@@ -33,6 +33,15 @@ import jax  # noqa: E402  (after env setup)
 # so the env var alone is not enough — pin the platform via config too.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite's wall time is almost entirely XLA compiles on a single CPU
+# core; the persistent compilation cache makes reruns (CI re-entry, local
+# iteration) hit warm compiles. Correctness is unaffected — cache keys
+# include program HLO and jaxlib version.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/qiddm_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 import pytest  # noqa: E402
 

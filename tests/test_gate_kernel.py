@@ -54,8 +54,8 @@ def test_gate_kernel_gradients_match_engine():
 
 
 def _sel_chain_setup(B=5, w=4, depth=5):
-    """Random normalized initial states + SEL weights (depth chosen to
-    exercise both the full-period loop and the static tail: p=3, rem=2)."""
+    """Random normalized initial states + SEL weights (depth > w-1 so the
+    range cycle wraps: p=3 ring variants over 5 layers)."""
     wq = jnp.asarray(RNG.normal(size=(depth, w, 3)) * 0.4, jnp.float32)
     st = RNG.normal(size=(B, 2**w)) + 1j * RNG.normal(size=(B, 2**w))
     st = st / np.linalg.norm(st, axis=1, keepdims=True)

@@ -310,3 +310,50 @@ def test_engine_compose_and_direct_paths_agree():
     out_big = np.asarray(sim.reupload_block(x_big, w, readout="expvalz"))
     np.testing.assert_allclose(out_big[:2], out_small, atol=1e-5)
     np.testing.assert_allclose(out_big[2:4], out_small, atol=1e-5)
+
+
+def test_reupload_wide_gate_level_route_matches_default():
+    """Above config.pallas_max_wires() the engine applies SEL gate-by-gate
+    (scan over L, no per-layer (d, d) unitaries). Force the route by
+    lowering the cap and check it matches the per-layer-unitary path for
+    every encode/imprimitive/readout combination."""
+    from qiddm_tpu import config
+
+    wires, L, k, batch = 5, 3, 2, 4
+    w = jnp.asarray(rand_weights(L, k, wires, 3), jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(batch, wires)), jnp.float32)
+    combos = [("rz", "cz", "probs"), ("rz", "cz", "expvalz"),
+              ("rz_halfpi", "cz", "probs"), ("ry", "cnot", "expvalz")]
+    ref = [np.asarray(sim.reupload_block(x, w, encode=e, imprimitive=imp,
+                                         readout=r)) for e, imp, r in combos]
+    old = config.pallas_max_wires()
+    try:
+        config.set_pallas_max_wires(4)  # wires=5 > cap -> gate-level route
+        wide = [np.asarray(sim.reupload_block(x, w, encode=e, imprimitive=imp,
+                                              readout=r))
+                for e, imp, r in combos]
+    finally:
+        config.set_pallas_max_wires(old)
+    for a, b in zip(wide, ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_reupload_wide_gate_level_route_gradients():
+    """The wide route must stay differentiable (scan-of-scan program)."""
+    from qiddm_tpu import config
+
+    wires, L, k, batch = 5, 2, 2, 3
+    w = jnp.asarray(rand_weights(L, k, wires, 3), jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(batch, wires)), jnp.float32)
+
+    def loss(w):
+        return jnp.mean(sim.reupload_block(x, w, readout="expvalz") ** 2)
+
+    g_ref = np.asarray(jax.grad(loss)(w))
+    old = config.pallas_max_wires()
+    try:
+        config.set_pallas_max_wires(4)
+        g_wide = np.asarray(jax.grad(loss)(w))
+    finally:
+        config.set_pallas_max_wires(old)
+    np.testing.assert_allclose(g_wide, g_ref, atol=1e-4)
