@@ -8,6 +8,7 @@ reference (PennyLane-Lightning, qiskit-aer). Built on demand with g++; see
 
 from .qsim import (  # noqa: F401
     Op,
+    adjoint_grad,
     available,
     build_reupload_ops,
     build_sel_ops,

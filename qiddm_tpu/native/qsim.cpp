@@ -171,6 +171,106 @@ inline void dm_channel(std::vector<cplx>& rho, int wires, int wire, int kind,
   }
 }
 
+// adjoint-gradient helpers ---------------------------------------------------
+
+inline void mat2_mul(const cplx a[2][2], const cplx b[2][2], cplx o[2][2]) {
+  o[0][0] = a[0][0] * b[0][0] + a[0][1] * b[1][0];
+  o[0][1] = a[0][0] * b[0][1] + a[0][1] * b[1][1];
+  o[1][0] = a[1][0] * b[0][0] + a[1][1] * b[1][0];
+  o[1][1] = a[1][0] * b[0][1] + a[1][1] * b[1][1];
+}
+
+inline void mat2_adj(const cplx g[2][2], cplx o[2][2]) {
+  o[0][0] = std::conj(g[0][0]); o[0][1] = std::conj(g[1][0]);
+  o[1][0] = std::conj(g[0][1]); o[1][1] = std::conj(g[1][1]);
+}
+
+// number of trainable parameters an op contributes
+inline int op_n_params(int kind) {
+  switch (kind) {
+    case OP_RX: case OP_RY: case OP_RZ: case OP_PHASESHIFT: return 1;
+    case OP_ROT: return 3;
+    default: return 0;
+  }
+}
+
+// dU/dparam as a dense 2x2. For the axis rotations exp(-i t P/2) the
+// derivative is (-i/2) P U; for Rot = RZ(omega) RY(theta) RZ(phi) the
+// product rule over the three factors gives each partial.
+inline void gate2x2_grad(int kind, double p0, double p1, double p2,
+                         int param, cplx dg[2][2]) {
+  cplx u[2][2];
+  switch (kind) {
+    case OP_RX: {
+      gate2x2(OP_RX, p0, 0, 0, u);
+      const cplx f(0, -0.5);
+      dg[0][0] = f * u[1][0]; dg[0][1] = f * u[1][1];  // (-i/2) X U
+      dg[1][0] = f * u[0][0]; dg[1][1] = f * u[0][1];
+      break;
+    }
+    case OP_RY: {
+      gate2x2(OP_RY, p0, 0, 0, u);
+      const cplx f(0, -0.5);
+      dg[0][0] = f * cplx(0, -1) * u[1][0];  // (-i/2) Y U
+      dg[0][1] = f * cplx(0, -1) * u[1][1];
+      dg[1][0] = f * cplx(0, 1) * u[0][0];
+      dg[1][1] = f * cplx(0, 1) * u[0][1];
+      break;
+    }
+    case OP_RZ: {
+      gate2x2(OP_RZ, p0, 0, 0, u);
+      const cplx f(0, -0.5);
+      dg[0][0] = f * u[0][0]; dg[0][1] = f * u[0][1];  // (-i/2) Z U
+      dg[1][0] = -f * u[1][0]; dg[1][1] = -f * u[1][1];
+      break;
+    }
+    case OP_PHASESHIFT: {
+      dg[0][0] = 0; dg[0][1] = 0; dg[1][0] = 0;
+      dg[1][1] = cplx(0, 1) * std::exp(cplx(0, p0));  // d/dphi diag(1,e^{i phi})
+      break;
+    }
+    case OP_ROT: {
+      cplx a[2][2], b[2][2], c[2][2], t[2][2];
+      gate2x2(OP_RZ, p0, 0, 0, a);   // RZ(phi)
+      gate2x2(OP_RY, p1, 0, 0, b);   // RY(theta)
+      gate2x2(OP_RZ, p2, 0, 0, c);   // RZ(omega);  U = C B A
+      if (param == 0) {
+        cplx da[2][2];
+        gate2x2_grad(OP_RZ, p0, 0, 0, 0, da);
+        mat2_mul(b, da, t); mat2_mul(c, t, dg);
+      } else if (param == 1) {
+        cplx db[2][2];
+        gate2x2_grad(OP_RY, p1, 0, 0, 0, db);
+        mat2_mul(db, a, t); mat2_mul(c, t, dg);
+      } else {
+        cplx dc[2][2];
+        gate2x2_grad(OP_RZ, p2, 0, 0, 0, dc);
+        mat2_mul(b, a, t); mat2_mul(dc, t, dg);
+      }
+      break;
+    }
+    default:
+      dg[0][0] = dg[0][1] = dg[1][0] = dg[1][1] = 0;
+  }
+}
+
+// <bra| M_{wire} |ket> restricted to a 1-wire operator M (dense 2x2),
+// i.e. sum over the wire's partner pairs.
+inline cplx braket_1q(const std::vector<cplx>& bra,
+                      const std::vector<cplx>& ket, int wires, int wire,
+                      const cplx m[2][2]) {
+  const int64_t dim = int64_t(1) << wires;
+  const int64_t bit = int64_t(1) << (wires - 1 - wire);
+  cplx acc(0, 0);
+  for (int64_t i = 0; i < dim; ++i) {
+    if (i & bit) continue;
+    const cplx a = ket[i], b = ket[i | bit];
+    acc += std::conj(bra[i]) * (m[0][0] * a + m[0][1] * b);
+    acc += std::conj(bra[i | bit]) * (m[1][0] * a + m[1][1] * b);
+  }
+  return acc;
+}
+
 }  // namespace
 
 extern "C" {
@@ -294,6 +394,103 @@ int qsim_density_run(int wires, const Op* ops, int n_ops,
       out_expvals[w] = e;
     }
   return 0;
+}
+
+// Adjoint-method Jacobian (Jones & Gacon 2020) — the capability that
+// defines PennyLane-Lightning's C++ backend (diff_method="adjoint",
+// SURVEY §2 native component #1): one forward pass + one backward sweep
+// computes d<Z_w>/dtheta for EVERY parametrized gate, O(n_ops * dim)
+// per observable instead of parameter-shift's 2*n_params circuit runs.
+//
+// out_expvals: (wires,) <Z_w> of the final state. out_jac: row-major
+// (wires, n_params) where n_params counts RX/RY/RZ/PHASESHIFT as 1 and
+// ROT as 3, in stream order. Channel ops are rejected (return -1): the
+// adjoint trick needs unitarity.
+int qsim_adjoint_grad(int wires, const Op* ops, int n_ops,
+                      const double* init_amps, double* out_expvals,
+                      double* out_jac) {
+  const int64_t dim = int64_t(1) << wires;
+  std::vector<cplx> psi(dim, cplx(0, 0));
+  if (init_amps) {
+    for (int64_t i = 0; i < dim; ++i)
+      psi[i] = cplx(init_amps[2 * i], init_amps[2 * i + 1]);
+  } else {
+    psi[0] = 1.0;
+  }
+  // parameter offsets in stream order + forward pass
+  std::vector<int> p_off(n_ops, 0);
+  int n_params = 0;
+  for (int o = 0; o < n_ops; ++o) {
+    const Op& op = ops[o];
+    p_off[o] = n_params;
+    n_params += op_n_params(op.kind);
+    switch (op.kind) {
+      case OP_CZ: apply_cz(psi, wires, op.wire, op.wire2); break;
+      case OP_CNOT: apply_cnot(psi, wires, op.wire, op.wire2); break;
+      case OP_CH_PHASE_DAMP:
+      case OP_CH_AMP_DAMP:
+      case OP_CH_DEPOL:
+        return -1;
+      default: {
+        cplx g[2][2];
+        gate2x2(op.kind, op.p0, op.p1, op.p2, g);
+        apply_1q(psi, wires, op.wire, g);
+      }
+    }
+  }
+  // expvals + one lambda = Z_w |psi> per observable
+  std::vector<std::vector<cplx>> lam(wires, std::vector<cplx>(dim));
+  for (int w = 0; w < wires; ++w) {
+    const int64_t bit = int64_t(1) << (wires - 1 - w);
+    double e = 0;
+    for (int64_t i = 0; i < dim; ++i) {
+      const double z = (i & bit) ? -1.0 : 1.0;
+      lam[w][i] = z * psi[i];
+      e += z * std::norm(psi[i]);
+    }
+    if (out_expvals) out_expvals[w] = e;
+  }
+  if (!out_jac) return 0;
+  std::memset(out_jac, 0, sizeof(double) * size_t(wires) * size_t(n_params));
+  // backward sweep: psi <- U_k^dag psi, grad = 2 Re<lam| dU_k |psi>,
+  // lam <- U_k^dag lam
+  for (int o = n_ops - 1; o >= 0; --o) {
+    const Op& op = ops[o];
+    if (op.kind == OP_CZ) {
+      apply_cz(psi, wires, op.wire, op.wire2);
+      for (int w = 0; w < wires; ++w)
+        apply_cz(lam[w], wires, op.wire, op.wire2);
+      continue;
+    }
+    if (op.kind == OP_CNOT) {
+      apply_cnot(psi, wires, op.wire, op.wire2);
+      for (int w = 0; w < wires; ++w)
+        apply_cnot(lam[w], wires, op.wire, op.wire2);
+      continue;
+    }
+    cplx g[2][2], gd[2][2];
+    gate2x2(op.kind, op.p0, op.p1, op.p2, g);
+    mat2_adj(g, gd);
+    apply_1q(psi, wires, op.wire, gd);  // psi is now the pre-gate state
+    const int np = op_n_params(op.kind);
+    for (int p = 0; p < np; ++p) {
+      cplx dg[2][2];
+      gate2x2_grad(op.kind, op.p0, op.p1, op.p2, p, dg);
+      for (int w = 0; w < wires; ++w)
+        out_jac[int64_t(w) * n_params + p_off[o] + p] =
+            2.0 * braket_1q(lam[w], psi, wires, op.wire, dg).real();
+    }
+    for (int w = 0; w < wires; ++w)
+      apply_1q(lam[w], wires, op.wire, gd);
+  }
+  return 0;
+}
+
+// Total number of trainable parameters in a gate stream (jac column count).
+int qsim_n_params(const Op* ops, int n_ops) {
+  int n = 0;
+  for (int o = 0; o < n_ops; ++o) n += op_n_params(ops[o].kind);
+  return n;
 }
 
 // Multinomial shot sampling from a probability vector (aer analogue).

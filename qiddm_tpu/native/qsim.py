@@ -78,6 +78,11 @@ def _load():
         lib.qsim_sample_counts.argtypes = [
             pd, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.qsim_adjoint_grad.restype = ctypes.c_int
+        lib.qsim_adjoint_grad.argtypes = [
+            ctypes.c_int, ctypes.POINTER(Op), ctypes.c_int, pd, pd, pd]
+        lib.qsim_n_params.restype = ctypes.c_int
+        lib.qsim_n_params.argtypes = [ctypes.POINTER(Op), ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -151,6 +156,42 @@ def density_run(wires: int, ops: Sequence[tuple],
         probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ev.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return probs, ev
+
+
+def adjoint_grad(wires: int, ops: Sequence[tuple],
+                 init_amps: Optional[np.ndarray] = None):
+    """Adjoint-method Jacobian — the lightning.qubit differentiator.
+
+    Returns ``(expvals, jac)``: ``expvals`` (wires,) are the final-state
+    <Z_w>; ``jac`` (wires, n_params) holds d<Z_w>/dtheta for every
+    parametrized gate in stream order (RX/RY/RZ/PhaseShift contribute one
+    column, Rot three). One forward pass + one backward unitary sweep —
+    O(n_ops * 2**wires) per observable vs parameter-shift's 2*n_params
+    full circuit evaluations (reference nn/qdense.py:1285-1297 pays the
+    latter on lightning.qubit). Channel ops are rejected: the adjoint
+    trick requires a unitary stream.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native qsim unavailable: {_BUILD_ERROR}")
+    arr = _ops_array(ops)
+    n_params = lib.qsim_n_params(arr, len(ops))
+    init = None
+    if init_amps is not None:
+        ia = np.ascontiguousarray(
+            np.stack([np.real(init_amps), np.imag(init_amps)], -1).ravel(),
+            dtype=np.float64)
+        init = ia.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    ev = np.zeros(wires, np.float64)
+    jac = np.zeros((wires, n_params), np.float64)
+    rc = lib.qsim_adjoint_grad(
+        wires, arr, len(ops), init,
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        jac.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        raise ValueError("adjoint differentiation requires a unitary "
+                         "stream (no channel ops)")
+    return ev, jac
 
 
 def sample_counts(probs: np.ndarray, shots: int, seed: int = 0) -> np.ndarray:
