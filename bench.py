@@ -132,9 +132,14 @@ def bench_qiddm_ll_flagship(epochs: int = 50):
         f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
 
-def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5):
+def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5,
+                   tag: str = ""):
     """Batched sampling throughput on the flagship (serving path,
-    cli/sample.py): images fully denoised per second, tau_test=15."""
+    cli/sample.py): images fully denoised per second, tau_test=15.
+
+    At batch >= 2**wires the engine switches every quantum block from the
+    gate-level kernel to composed unitaries — batched MXU matmuls — so the
+    large-batch variant (the serving regime) measures the MXU route."""
     import jax
 
     from qiddm_tpu import nn
@@ -152,7 +157,7 @@ def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5):
     wall = (time.time() - t0) / reps
     v = batch / wall
     return {
-        "metric": "sample_images_per_sec_qiddm_ll_tau15",
+        "metric": f"sample_images_per_sec_qiddm_ll_tau15{tag}",
         "value": round(v, 1),
         "unit": "images/s",
         "vs_baseline": round(v / REFERENCE_SAMPLE_IMAGES_PER_SEC, 1),
@@ -201,7 +206,9 @@ def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
     """Training-step throughput for a re-uploading block at 16 wires — a
     2^16-amplitude statevector, beyond the reference's 10-wire ceiling
     (SURVEY §5.7: its widest circuit is 10 wires; PennyLane warns above
-    that). One chip, fused gate-chain kernel, full fwd+bwd per step."""
+    that). One chip, full fwd+bwd per step, on the gate-level XLA route
+    (wires > config.pallas_max_wires(): the fused kernel's scoped-VMEM cap
+    is 10 wires on the v5e — DESIGN.md width boundary)."""
     import jax
     import jax.numpy as jnp
 
@@ -251,6 +258,20 @@ def main(argv=None):
                          "results/benchmarks.json)")
     args = ap.parse_args(argv)
 
+    # persistent compile cache: a cold remote compile of the 30-epoch scan
+    # costs ~10 min after any engine change; cached reruns take seconds.
+    # Harmless if the backend doesn't support executable serialization.
+    try:
+        import os
+
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/qiddm_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     primary, detail, util = bench_qiddm_a()
     print(json.dumps(primary))
     print(f"# {detail}", file=sys.stderr)
@@ -260,7 +281,9 @@ def main(argv=None):
         import jax
 
         suite = [dict(primary, roofline=util)]
-        for fn in (bench_qiddm_ll_flagship, bench_sampling,
+        serving = lambda: bench_sampling(batch=4096, reps=3,
+                                         tag="_batch4096_serving")
+        for fn in (bench_qiddm_ll_flagship, bench_sampling, serving,
                    bench_noise_dm_sampling, bench_wide_reupload):
             rec = fn()
             suite.append(dict(rec[0], detail=rec[1]))

@@ -122,7 +122,8 @@ def _sel_small_batch(states, w, imprimitive: str, cdtype):
     from .. import config as _config
 
     if (_config.use_pallas() and jax.default_backend() == "tpu"
-            and cdtype == jnp.complex64):
+            and cdtype == jnp.complex64
+            and w.shape[1] <= _config.pallas_max_wires()):  # VMEM cap
         from .gates import rot_matrix
         from .pallas_gate_kernel import sel_chain_pallas
 
@@ -225,11 +226,14 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         from .sharded import reupload_block_sharded
 
         # the sharded program applies the halfpi scaling itself; only the
-        # encode-placement rot_angle offset happens here
+        # encode-placement rot_angle offset happens here. The dense path
+        # (_encode_angles) adds the over-rotation AFTER scaling — match it
+        # by pre-dividing the strength by the scale the program will apply.
         x_shard = x_enc
         if (noise is not None and noise.kind == "rot_angle"
                 and noise.placement == "encode"):
-            x_shard = x_shard + noise.strength
+            scale = jnp.pi * 0.5 if encode == "rz_halfpi" else 1.0
+            x_shard = x_shard + noise.strength / scale
         return reupload_block_sharded(
             x_shard, block_weights, mesh, axis=mesh_axis,
             imprimitive=imprimitive, encode=encode, readout=readout,

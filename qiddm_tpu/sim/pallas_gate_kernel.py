@@ -16,8 +16,12 @@ The backward is a second kernel walking the chain in reverse: states are
 reconstructed through adjoint gates (zero residual memory) and each gate's
 (2, 2) gradient is accumulated from plane inner products.
 
-CZ imprimitives only (the entire QIDDM/differN family); qdense's CNOT ring
-keeps the XLA path.
+Two kernels live here: ``gate_chain_pallas`` (the re-uploading chain:
+|0..0> init + per-layer RZ phase encode, CZ rings — the QIDDM/differN
+family) and ``sel_chain_pallas`` (arbitrary initial states, CNOT or CZ
+rings — the Qdense/QNN families). Both cap at
+``config.pallas_max_wires()`` (scoped-VMEM limit, DESIGN.md width
+boundary); wider circuits take the gate-level XLA path in sel.py.
 """
 
 from __future__ import annotations

@@ -207,14 +207,17 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
             # RZ phase angle: -0.5 * sum_j sign_j(i) * x_j (statevector.py
             # rz_phases convention). Device bits give a per-(B,) scalar,
             # local bits a (B, dim_local) matmul.
-            ang = jnp.zeros((B,), jnp.float32)
+            # accumulate angles in the state's real precision so the x64
+            # parity mode stays exact on the sharded path too
+            rdt = jnp.float64 if local.dtype == jnp.complex128 else jnp.float32
+            ang = jnp.zeros((B,), rdt)
             for j in range(s_bits):
-                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(jnp.float32)
-                ang = ang - 0.5 * sign * x[:, j]
-            ang_local = -0.5 * jnp.matmul(x[:, s_bits:], signs_local.T)
+                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(rdt)
+                ang = ang - 0.5 * sign * x[:, j].astype(rdt)
+            ang_local = -0.5 * jnp.matmul(x[:, s_bits:].astype(rdt),
+                                          signs_local.T.astype(rdt))
             total = ang[:, None] + ang_local  # (B, dim_local)
-            return local * jnp.exp(1j * total.astype(jnp.complex64)).astype(
-                local.dtype)
+            return local * jnp.exp(1j * total.astype(local.dtype))
 
         def apply_1q_any(local, gate, j):
             if j >= s_bits:

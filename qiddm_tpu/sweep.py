@@ -263,8 +263,6 @@ def _rung_plan(epochs: int, rungs):
             prev = ep
         if prev < epochs:
             plan.append((epochs - prev, None))
-        elif plan:  # last rung right at the end: no post-rung segment
-            plan[-1] = (plan[-1][0], plan[-1][1])
         return plan or [(epochs, None)]
     n = len(rungs) + 1
     seg = epochs // n

@@ -6,7 +6,9 @@ These env vars must be set before JAX initializes its backends, hence the
 module-level assignment in conftest.
 """
 
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 
@@ -19,6 +21,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _REAL_DATA_DIR = os.environ.get(
     "QIDDM_DATA_DIR", os.path.expanduser("~/qiddm_data"))
 os.environ["QIDDM_DATA_DIR"] = tempfile.mkdtemp(prefix="qiddm_test_data_")
+atexit.register(shutil.rmtree, os.environ["QIDDM_DATA_DIR"],
+                ignore_errors=True)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

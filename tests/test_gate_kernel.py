@@ -62,9 +62,7 @@ def _sel_chain_setup(B=5, w=4, depth=5):
     return wq, jnp.asarray(st, jnp.complex64)
 
 
-@pytest.mark.parametrize(
-    "imprimitive",
-    ["cnot", pytest.param("cz", marks=pytest.mark.slow)])
+@pytest.mark.parametrize("imprimitive", ["cnot", "cz"])
 def test_sel_chain_kernel_matches_direct(imprimitive):
     from qiddm_tpu.sim.pallas_gate_kernel import sel_chain_pallas
     from qiddm_tpu.sim.sel import sel_apply_direct
@@ -77,9 +75,7 @@ def test_sel_chain_kernel_matches_direct(imprimitive):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-@pytest.mark.parametrize(
-    "imprimitive",
-    ["cnot", pytest.param("cz", marks=pytest.mark.slow)])
+@pytest.mark.parametrize("imprimitive", ["cnot", "cz"])
 def test_sel_chain_kernel_gradients_match(imprimitive):
     from qiddm_tpu.sim.pallas_gate_kernel import sel_chain_pallas
     from qiddm_tpu.sim.sel import sel_apply_gates

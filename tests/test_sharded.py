@@ -149,3 +149,22 @@ def test_engine_reupload_mesh_route():
     with pytest.raises(NotImplementedError):
         engine.reupload_block(x, w, encode="ry", readout="expvalz",
                               mesh=mesh)
+
+
+def test_engine_reupload_mesh_route_rot_angle_halfpi():
+    """rot_angle encode noise must add the over-rotation AFTER the halfpi
+    scaling on the sharded path, exactly as the dense path does
+    (regression: the mesh route used to add it before scaling, inflating
+    the noise by pi/2)."""
+    from qiddm_tpu.sim import engine
+
+    mesh = make_mesh(8, ("data",))
+    noise = engine.NoiseModel("rot_angle", 0.1, "encode")
+    w = jnp.asarray(RNG.normal(size=(2, 2, 5, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(3, 5)), jnp.float32)
+    for enc in ("rz", "rz_halfpi"):
+        got = np.asarray(engine.reupload_block(
+            x, w, encode=enc, readout="expvalz", noise=noise, mesh=mesh))
+        want = np.asarray(engine.reupload_block(
+            x, w, encode=enc, readout="expvalz", noise=noise))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=enc)

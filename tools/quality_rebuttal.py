@@ -57,8 +57,6 @@ def main(argv=None):
 
     import importlib
 
-    from qiddm_tpu.cli import rebuttal_common
-
     results = {}
     for mod_name, labels, tag in RUNS:
         mod = importlib.import_module(f"qiddm_tpu.cli.{mod_name}")
@@ -71,11 +69,10 @@ def main(argv=None):
                 "--load-path", f"results/realdata/{tag}_"]
         for m in MODELS[:n_models]:
             argv += ["--model"] + m
-        # per-dataset label override: make_main passes labels positionally,
-        # so monkeypatch the driver's label list via rebuttal_common
+        # run the driver's training/scoring loop directly with this
+        # dataset's label list (instead of the driver's default labels)
         t0 = time.time()
-        parse_args, _ = mod.parse_args, mod.main
-        cli_args = parse_args(argv)
+        cli_args = mod.parse_args(argv)
         from qiddm_tpu.cli import common
         scores = common.run_labels(
             cli_args, labels=labels, augment_to=100, tau_test=5,
