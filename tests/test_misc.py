@@ -138,3 +138,38 @@ def test_bench_suite_extras_smoke():
                                             steps=3)
     assert rec["value"] > 0 and rec["vs_baseline"] is None
     assert "loss" in detail
+
+
+def test_x64_parity_sharded_path_subprocess():
+    """The mesh-sharded reupload program must keep float64 precision end to
+    end (regression: its encode phases used to be accumulated in float32
+    regardless of the requested dtype)."""
+    code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, %r)
+from qiddm_tpu import config
+config.enable_x64()
+import jax.numpy as jnp, numpy as np
+from qiddm_tpu.parallel import make_mesh
+from qiddm_tpu.sim import engine
+mesh = make_mesh(8, ("data",))
+rng = np.random.default_rng(0)
+w = jnp.asarray(rng.normal(size=(2, 2, 5, 3)) * 0.5)
+x = jnp.asarray(rng.uniform(size=(3, 5)))
+got = np.asarray(engine.reupload_block(x, w, readout="expvalz", mesh=mesh,
+                                       cdtype=jnp.complex128))
+want = np.asarray(engine.reupload_block(x, w, readout="expvalz",
+                                        cdtype=jnp.complex128))
+err = float(np.abs(got - want).max())
+assert err < 1e-12, err
+print("X64_SHARDED_OK", err)
+"""
+    repo = str(pathlib.Path(__file__).parent.parent)
+    out = subprocess.run([sys.executable, "-c", code % repo],
+                         capture_output=True, text=True, timeout=300)
+    assert "X64_SHARDED_OK" in out.stdout, out.stderr[-2000:]
