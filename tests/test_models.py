@@ -225,3 +225,31 @@ def test_qconv_full_chain_vs_oracle():
                 q = np.clip(p * dim * 0.5, 0.0, 1.0)[::2][:cout]
                 want[i, :, r, c] = q
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_qnn_full_chain_vs_oracle():
+    """QNN end to end vs the numpy oracle: Linear(pixels->hidden) ->
+    [RZ encode on |0..0> (global phase only) -> SEL(depth, CZ) -> <Z>] ->
+    Linear back to pixels (reference nn/qdense.py:310-386; the circuit's
+    input-independence is the reference's own quirk, nn/qdense.py:338-344).
+    """
+    import oracle
+
+    side, hidden, qdepth = 4, 3, 2
+    pixels = side * side
+    net = nn.QNN(pixels, hidden, qdepth)
+    b = 5
+    x = np.asarray(RNG.uniform(size=(b, 1, side, side)), np.float32)
+    got = np.asarray(net(jnp.asarray(x)))
+
+    p = net.params
+    wu, bu = np.asarray(p["linear_up"]["kernel"]), np.asarray(
+        p["linear_up"]["bias"])
+    w = np.asarray(p["qweights"])  # (qdepth, hidden, 3)
+
+    state = np.zeros(2 ** hidden, complex)
+    state[0] = 1.0  # RZ encode is a global phase on |0..0>
+    state = oracle.sel_matrix(w, hidden, "cz") @ state
+    q = oracle.expval_z(state, hidden)  # (hidden,), identical for every row
+    want = (np.tile(q, (b, 1)) @ wu + bu).reshape(b, 1, side, side)
+    np.testing.assert_allclose(got, want, atol=2e-4)
