@@ -39,6 +39,9 @@ def parse_args(argv):
     p.add_argument("--format", choices=["png", "npz", "both"], default="both")
     p.add_argument("--batches", type=int, default=1,
                    help="generate this many batches (throughput reporting)")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard each batch over this many devices "
+                        "(data-parallel serving; 0 = single device)")
     return p.parse_args(argv)
 
 
@@ -49,6 +52,12 @@ def main(argv=None):
     net.variables = ckpt["model_state_dict"]
     s = args.img_size
     diff = Diffusion(net=net, prediction_goal=args.target, shape=(s, s)).eval()
+
+    mesh = None
+    if args.mesh_devices:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices, ("data",))
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -61,7 +70,7 @@ def main(argv=None):
         t0 = time.time()
         imgs = np.asarray(diff.sample(
             n_iters=args.iters, first_x=first_x, only_last=True,
-            noise_factor=args.noise_factor))
+            noise_factor=args.noise_factor, mesh=mesh))
         dt = time.time() - t0
         if b == 0:
             t_first = dt

@@ -190,14 +190,23 @@ class Diffusion:
         return run
 
     def _denoise_scan(self, variables, first_x, n_iters: int,
-                      noise_factor: float):
+                      noise_factor: float, mesh=None):
         """The iterative denoise loop shared by every sampling entry point
         (reference src/models.py:124-136): data goal replaces x with the
-        prediction; noise goal subtracts the scaled prediction and clips."""
+        prediction; noise goal subtracts the scaled prediction and clips.
+        With ``mesh``, the image batch shards over the mesh's ``data`` axis
+        (data-parallel serving — params replicate, no collectives needed in
+        the forward loop)."""
         goal = self.prediction_goal
         net = self.net
+        if mesh is not None:
+            from .parallel.mesh import dp_constraint
+        else:
+            dp_constraint = None
 
         def body(x, _):
+            if dp_constraint is not None:
+                x = dp_constraint(x, mesh)
             pred = net.module.apply(variables, x, train=False, mutable=False)
             if goal == "data":
                 new_x = pred
@@ -210,14 +219,14 @@ class Diffusion:
 
     def sample_fn(self, variables, first_x, n_iters: int, *,
                   only_last: bool = False, step: int = 1,
-                  noise_factor: float = 1.0):
+                  noise_factor: float = 1.0, mesh=None):
         """Iterative denoising as one ``lax.scan`` (src/models.py:106-147).
 
         first_x: (b, 1, w, h). Returns either the last image (only_last) or
         the reference's stacked grid ``(iters*h, b*w)``.
         """
         last, xs = self._denoise_scan(variables, first_x, n_iters,
-                                      noise_factor)
+                                      noise_factor, mesh=mesh)
         if only_last:
             return last
         kept = xs[::step] if step > 1 else xs
@@ -254,19 +263,22 @@ class Diffusion:
     forward = __call__
 
     def sample(self, n_iters, first_x=None, labels=None, show_progress=False,
-               only_last=False, step=1, noise_factor=1.0, key=None):
+               only_last=False, step=1, noise_factor=1.0, key=None,
+               mesh=None):
         if first_x is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             first_x = jax.random.uniform(
                 key, (10, 1, self.width, self.height))
         # cache the jitted sampler per static config — a fresh
         # jit(partial(...)) every call would recompile every time
-        cfg = (int(n_iters), bool(only_last), int(step), float(noise_factor))
+        # (jax.sharding.Mesh hashes by device grid + axis names)
+        cfg = (int(n_iters), bool(only_last), int(step), float(noise_factor),
+               mesh)
         cache = getattr(self, "_sample_cache", None)
         if cache is None:
             cache = self._sample_cache = {}
         if cfg not in cache:
             cache[cfg] = jax.jit(functools.partial(
                 self.sample_fn, n_iters=cfg[0], only_last=cfg[1],
-                step=cfg[2], noise_factor=cfg[3]))
+                step=cfg[2], noise_factor=cfg[3], mesh=mesh))
         return cache[cfg](self.net.variables, jnp.asarray(first_x))

@@ -215,3 +215,35 @@ def test_noise_sweep_cache_roundtrip(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "outp loaded successfully" in out
     assert np.isfinite(res["QIDDM_LL_noise"][2]["ssim"][0])
+
+
+def test_sample_serving_cli(tmp_path):
+    """The standalone sampling/serving driver: load a checkpoint, generate
+    batches (single-device and sharded over the 8-device mesh), write
+    artifacts."""
+    import jax
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.ckpt import save_diffusion
+    from qiddm_tpu.cli import sample as sample_cli
+    from qiddm_tpu.diffusion import Diffusion
+
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(8, 8))
+    ckpt_path = save_diffusion(diff, str(tmp_path), 0, [0.5], 1)
+
+    argv = ["--ckpt", str(ckpt_path),
+            "--model", "QIDDM_LL_noise", "64", "4", "2", "1",
+            "--img_size", "8", "--n", "16", "--iters", "3",
+            "--out", str(tmp_path / "s1"), "--format", "npz",
+            "--batches", "2", "--seed", "3"]
+    imgs = sample_cli.main(argv)
+    assert imgs.shape == (32, 1, 8, 8)
+    assert (tmp_path / "s1" / "samples.npz").exists()
+
+    imgs_mesh = sample_cli.main(argv[:-6] + [
+        "--out", str(tmp_path / "s2"), "--format", "npz",
+        "--batches", "2", "--seed", "3",
+        "--mesh-devices", str(len(jax.devices()))])
+    np.testing.assert_allclose(np.asarray(imgs_mesh), np.asarray(imgs),
+                               atol=1e-5)

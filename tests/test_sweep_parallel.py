@@ -149,3 +149,18 @@ def test_mesh_dp_loss_equality_vs_single_device():
         return np.asarray(losses)
 
     np.testing.assert_allclose(run(mesh), run(None), rtol=5e-4, atol=1e-5)
+
+
+def test_mesh_sampling_matches_single_device():
+    """Data-parallel serving: sampling a batch sharded over the mesh's
+    'data' axis must produce the same images as the single-device sampler."""
+    mesh = make_mesh(8, ("data",))
+    x, h, w = _digits()
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w)).eval()
+    first_x = jax.random.uniform(jax.random.PRNGKey(5), (16, 1, h, w))
+    got = np.asarray(diff.sample(n_iters=5, first_x=first_x, only_last=True,
+                                 mesh=mesh))
+    want = np.asarray(diff.sample(n_iters=5, first_x=first_x,
+                                  only_last=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
