@@ -158,6 +158,99 @@ def import_torch_state_dict(net, state_dict, strict: bool = True):
     return variables
 
 
+def export_torch_state_dict(net, weights_key: str = "weights"):
+    """Inverse of :func:`import_torch_state_dict`: emit a reference-named
+    torch-style ``state_dict`` (numpy values) from a qiddm_tpu model.
+
+    Completes the round trip — checkpoints trained here can be taken BACK
+    to the reference codebase (its ``load_model``/driver ``load_model``
+    call ``load_state_dict`` on these exact key names,
+    reference src/mnist_exm.py:294-323). Layouts invert the torch->flax
+    rules: Linear kernels transpose back, Conv HWIO -> OIHW.
+
+    ``weights_key`` names the quantum weight tensor ("weights" for most
+    reference classes; a few use "weights1").
+    """
+    variables = jax.tree_util.tree_map(np.asarray, net.variables)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd = {}
+
+    def put_linear(src, prefix):
+        sd[f"{prefix}.weight"] = np.asarray(src["kernel"]).T
+        if "bias" in src:
+            sd[f"{prefix}.bias"] = np.asarray(src["bias"])
+
+    def put_conv(src, prefix):
+        if "qweights" in src:
+            sd[f"{prefix}.weights"] = np.asarray(src["qweights"])
+            return
+        src = src["Conv_0"] if "Conv_0" in src else src
+        sd[f"{prefix}.weight"] = np.asarray(src["kernel"]).transpose(
+            3, 2, 0, 1)  # flax HWIO -> torch OIHW
+        if "bias" in src:
+            sd[f"{prefix}.bias"] = np.asarray(src["bias"])
+
+    def put_bn(psrc, ssrc, prefix):
+        sd[f"{prefix}.weight"] = np.asarray(psrc["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(psrc["bias"])
+        sd[f"{prefix}.running_mean"] = np.asarray(ssrc["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(ssrc["var"])
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    if "qweights" in params:
+        sd[weights_key] = np.asarray(params["qweights"])
+    if "linear_down" in params:
+        put_linear(params["linear_down"], "linear_down")
+    if "linear_up" in params:
+        put_linear(params["linear_up"], "linear_up")
+    if "conv_down" in params:
+        put_conv(params["conv_down"], "conv_layer")
+    for bn_dst, bn_src in (("bn", "batchnorm"), ("pca_bn", "batch_norm")):
+        if bn_dst in params:
+            put_bn(params[bn_dst], stats[bn_dst], bn_src)
+
+    for name in params:
+        if name.startswith("down"):
+            i = name[4:]
+            blk = f"down_blocks.{i}.net"
+            put_conv(params[name]["conv0"], f"{blk}.0")
+            put_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.1")
+            put_conv(params[name]["conv1"], f"{blk}.3")
+            put_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.4")
+        elif name.startswith("up") and name != "up_conv":
+            i = name[2:]
+            blk = f"up_blocks.{i}"
+            put_conv(params[name]["up_conv"], f"{blk}.up_conv.1")
+            put_conv(params[name]["conv0"], f"{blk}.net.0")
+            put_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.net.2")
+            put_conv(params[name]["conv1"], f"{blk}.net.3")
+            put_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.net.4")
+        elif name == "final_conv":
+            put_conv(params[name], "final_conv")
+    return sd
+
+
+def save_reference_checkpoint(net, path, loss_values=None, epochs: int = 0,
+                              weights_key: str = "weights"):
+    """Write a reference-compatible torch ``.pt`` checkpoint (the
+    ``{'model_state_dict', 'loss_values', 'epochs'}`` dict layout the
+    reference drivers save and load, src/mnist_exm.py:197-201,294-323)."""
+    import torch
+
+    # .copy(): jax arrays surface as non-writable numpy views, which torch
+    # rejects (from_numpy shares memory)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy()) if np.ndim(v)
+          else torch.tensor(v)
+          for k, v in export_torch_state_dict(net, weights_key).items()}
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({"model_state_dict": sd,
+                "loss_values": list(loss_values or []),
+                "epochs": int(epochs)}, path)
+    return path
+
+
 def load_reference_checkpoint(net, path, strict: bool = True):
     """Load a reference torch ``.pt`` checkpoint file into a qiddm_tpu model.
 

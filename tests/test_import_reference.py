@@ -141,3 +141,32 @@ def test_import_quantum_unet_statedict():
     got = np.asarray(net.variables["params"]["final_conv"]["qweights"])
     np.testing.assert_allclose(got, sd["net.final_conv.weights"], atol=1e-6)
     _sample_ok(net, iters=2, s=8)
+
+
+@pytest.mark.parametrize("make", [
+    lambda s: nn.QIDDM_LL_noise(64, 4, 2, 2, 0, seed=s),
+    lambda s: nn.QDenseUndirected_old_noise(3, 8, 0, seed=s),
+    lambda s: nn.QIDDM_L_B(64, 4, 2, 1, seed=s),       # batchnorm stats
+    lambda s: nn.UNetUndirected(2, 4, 0, seed=s),       # UNet family
+])
+def test_export_roundtrip(make, tmp_path):
+    """export_torch_state_dict inverts import_torch_state_dict: a model
+    exported to a reference-named torch checkpoint and re-imported into a
+    DIFFERENTLY seeded instance must reproduce the original's outputs
+    (checkpoints trained here are portable back to the reference)."""
+    import jax.numpy as jnp
+
+    from qiddm_tpu.ckpt import (load_reference_checkpoint,
+                                save_reference_checkpoint)
+
+    src = make(0)
+    x = jnp.asarray(np.random.default_rng(3).uniform(size=(2, 1, 8, 8)),
+                    jnp.float32)
+    want = np.asarray(src(x))
+
+    p = save_reference_checkpoint(src, tmp_path / "export.pt",
+                                  loss_values=[0.3, 0.2], epochs=7)
+    dst = make(1)  # different init — values must come from the checkpoint
+    losses, epochs = load_reference_checkpoint(dst, p, strict=True)
+    assert losses == [0.3, 0.2] and epochs == 7
+    np.testing.assert_allclose(np.asarray(dst(x)), want, atol=1e-6)
