@@ -13,6 +13,7 @@ chip. A guard raises above 12 wires.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax.numpy as jnp
@@ -80,6 +81,79 @@ def apply_kraus_all_wires(rho, kraus):
     for j in range(_nwires(rho)):
         rho = apply_1q_kraus(rho, kraus, j)
     return rho
+
+
+# --- closed-form channel applications --------------------------------------
+# The reference's three non-unitary channels have structure the generic
+# Kraus einsum wastes: phase damping is DIAGONAL (the all-wires pass is one
+# precomputed Hadamard mask on rho), and damping/depolarizing reduce to
+# elementwise block scalings plus one block move/trace each — O(B d^2)
+# cheap VPU ops with no tiny-axis contractions.
+
+@functools.lru_cache(maxsize=None)
+def _phase_damp_mask(wires: int, gamma: float):
+    """All-wires phase damping: rho'[i,j] = rho[i,j] * s^hamming(i xor j),
+    s = sqrt(1-gamma) (off-diagonal coherence decays per differing bit;
+    diagonals untouched)."""
+    import numpy as np
+
+    i = np.arange(2**wires)
+    x = i[:, None] ^ i[None, :]
+    ham = np.zeros_like(x)
+    while x.any():
+        ham += x & 1
+        x >>= 1
+    return np.sqrt(1.0 - gamma) ** ham
+
+
+def _amp_damp_wire(rho, gamma: float, wire: int, wires: int):
+    """K0 = diag(1, s), K1 = [[0, sqrt(g)], [0, 0]]: elementwise mask
+    (1, s; s, 1-g) on the wire's 2x2 block grid plus the |1><1| block
+    moving to |0><0| with weight g."""
+    b = rho.shape[0]
+    left, right = 2**wire, 2 ** (wires - wire - 1)
+    r = rho.reshape(b, left, 2, right, left, 2, right)
+    s = jnp.sqrt(1.0 - gamma)
+    c = jnp.asarray([1.0, s], rho.real.dtype)
+    m = (c[:, None] * c[None, :]).astype(rho.dtype)
+    out = r * m.reshape(1, 1, 2, 1, 1, 2, 1)
+    out = out.at[:, :, 0, :, :, 0, :].add(gamma * r[:, :, 1, :, :, 1, :])
+    return out.reshape(b, left * 2 * right, left * 2 * right)
+
+
+def _depol_wire(rho, p: float, wire: int, wires: int):
+    """XrX + YrY + ZrZ = 2 tr_w(r) (x) I - r, so the depolarizing channel
+    is rho' = (1 - 4p/3) rho + (2p/3) I (x) tr_w(rho)."""
+    b = rho.shape[0]
+    left, right = 2**wire, 2 ** (wires - wire - 1)
+    r = rho.reshape(b, left, 2, right, left, 2, right)
+    t = r[:, :, 0, :, :, 0, :] + r[:, :, 1, :, :, 1, :]
+    out = (1.0 - 4.0 * p / 3.0) * r
+    out = out.at[:, :, 0, :, :, 0, :].add((2.0 * p / 3.0) * t)
+    out = out.at[:, :, 1, :, :, 1, :].add((2.0 * p / 3.0) * t)
+    return out.reshape(b, left * 2 * right, left * 2 * right)
+
+
+def apply_channel_all_wires(rho, kind: str, strength: float):
+    """Closed-form all-wires application of the reference's channels.
+
+    Exactly equals ``apply_kraus_all_wires(rho, kraus_for(kind, strength))``
+    (channels on distinct wires commute); used by the engine for the three
+    non-unitary kinds. Raises KeyError for kinds without a closed form.
+    """
+    w = _nwires(rho)
+    if kind == "phase_damping":
+        mask = jnp.asarray(_phase_damp_mask(w, float(strength)), rho.dtype)
+        return rho * mask[None]
+    if kind == "amplitude_damping":
+        for j in range(w):
+            rho = _amp_damp_wire(rho, float(strength), j, w)
+        return rho
+    if kind == "depolarizing":
+        for j in range(w):
+            rho = _depol_wire(rho, float(strength), j, w)
+        return rho
+    raise KeyError(kind)
 
 
 def probs(rho):

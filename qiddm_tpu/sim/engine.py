@@ -108,6 +108,17 @@ def _kraus_array(noise: NoiseModel, dtype) -> jnp.ndarray:
     return jnp.asarray(np.stack(ks), dtype=dtype)
 
 
+
+def _apply_noise_all_wires(rho, noise: NoiseModel, cdtype):
+    """Per-wire channel application, routed to the closed-form fast paths
+    (density.apply_channel_all_wires) for the three reference channel
+    kinds; generic Kraus otherwise."""
+    try:
+        return dm.apply_channel_all_wires(rho, noise.kind, noise.strength)
+    except KeyError:
+        return dm.apply_kraus_all_wires(rho, _kraus_array(noise, cdtype))
+
+
 def _needs_dm(noise: Optional[NoiseModel]) -> bool:
     return noise is not None and not noise.is_unitary
 
@@ -174,7 +185,7 @@ def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
     if noise.kind == "rot_angle":
         return probs(states)
     rho = dm.from_statevector(states)
-    rho = dm.apply_kraus_all_wires(rho, _kraus_array(noise, cdtype))
+    rho = _apply_noise_all_wires(rho, noise, cdtype)
     return dm.probs(rho)
 
 
@@ -336,7 +347,6 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
 
     # density-matrix path (damping/depolarizing channels inside the loop)
     us = sel_unitaries(block_weights, imprimitive=imprimitive).astype(cdtype)
-    kraus = _kraus_array(noise, cdtype)
     rho = dm.zero_density(batch, wires, dtype=cdtype)
     phases = rz_phases(x_enc, wires) if encode in ("rz", "rz_halfpi") else None
 
@@ -354,12 +364,12 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     def body(rho, u):
         rho = encode_rho(rho)
         if noise.placement == "encode":
-            rho = dm.apply_kraus_all_wires(rho, kraus)
+            rho = _apply_noise_all_wires(rho, noise, cdtype)
         return dm.apply_unitary(rho, u), None
 
     rho, _ = jax.lax.scan(body, rho, us)
     if noise.placement == "end":
-        rho = dm.apply_kraus_all_wires(rho, kraus)
+        rho = _apply_noise_all_wires(rho, noise, cdtype)
     if readout == "probs":
         return dm.probs(rho)
     return dm.expval_z(rho)
@@ -419,15 +429,14 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
 
     u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
 
-    kraus = _kraus_array(noise, cdtype)
     if encode == "ry":
         rho = dm.from_statevector(ry_product_state(x, wires, dtype=cdtype))
     else:
         rho = dm.zero_density(x.shape[0], wires, dtype=cdtype)
         rho = dm.apply_diag(rho, rz_phases(x, wires))
     if noise.placement == "encode":
-        rho = dm.apply_kraus_all_wires(rho, kraus)
+        rho = _apply_noise_all_wires(rho, noise, cdtype)
     rho = dm.apply_unitary(rho, u)
     if noise.placement == "end":
-        rho = dm.apply_kraus_all_wires(rho, kraus)
+        rho = _apply_noise_all_wires(rho, noise, cdtype)
     return dm.probs(rho) if readout == "probs" else dm.expval_z(rho)

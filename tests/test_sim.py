@@ -357,3 +357,26 @@ def test_reupload_wide_gate_level_route_gradients():
     finally:
         config.set_pallas_max_wires(old)
     np.testing.assert_allclose(g_wide, g_ref, atol=1e-4)
+
+
+def test_closed_form_channels_match_generic_kraus():
+    """density.apply_channel_all_wires (Hadamard-mask / block closed forms)
+    must equal the generic per-wire Kraus einsum for every reference
+    channel kind and assorted strengths."""
+    wires, batch = 4, 3
+    d = 2**wires
+    st = RNG.normal(size=(batch, d)) + 1j * RNG.normal(size=(batch, d))
+    st = st / np.linalg.norm(st, axis=1, keepdims=True)
+    rho = dmod.from_statevector(jnp.asarray(st, jnp.complex64))
+    for kind in ("phase_damping", "amplitude_damping", "depolarizing"):
+        for strength in (0.03, 0.3, 0.9):
+            kraus = jnp.asarray(np.stack(ch.kraus_for(kind, strength)),
+                                jnp.complex64)
+            want = np.asarray(dmod.apply_kraus_all_wires(rho, kraus))
+            got = np.asarray(dmod.apply_channel_all_wires(rho, kind,
+                                                          strength))
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"{kind}@{strength}")
+            # trace preserved
+            tr = np.trace(got, axis1=1, axis2=2)
+            np.testing.assert_allclose(tr, 1.0, atol=1e-5)
