@@ -131,23 +131,33 @@ def import_torch_state_dict(net, state_dict, strict: bool = True):
     # --- UNet family -------------------------------------------------------
     # reference Sequential indices: DownBlock net = [conv,bn,relu,conv,bn,
     # relu] -> (0,1,3,4); UpBlock net = [conv,relu,bn,conv,bn,relu] ->
-    # (0,2,3,4); up_conv = [Upsample, conv] -> (1,)
+    # (0,2,3,4); up_conv = [Upsample, conv] -> (1,). The simple (S) blocks
+    # are net = [QConv2d, BatchNorm] -> (0,1) (reference nn/unet_simple.py).
     for name in list(params):
         if name.startswith("down"):
             i = name[4:]
             blk = f"down_blocks.{i}.net"
-            set_conv(params[name]["conv0"], f"{blk}.0")
-            set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.1")
-            set_conv(params[name]["conv1"], f"{blk}.3")
-            set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.4")
+            if "qconv" in params[name]:  # SimpleDownBlock
+                set_conv(params[name]["qconv"], f"{blk}.0")
+                set_bn(params[name]["bn"], stats[name]["bn"], f"{blk}.1")
+            else:
+                set_conv(params[name]["conv0"], f"{blk}.0")
+                set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.1")
+                set_conv(params[name]["conv1"], f"{blk}.3")
+                set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.4")
         elif name.startswith("up") and name != "up_conv":
             i = name[2:]
             blk = f"up_blocks.{i}"
-            set_conv(params[name]["up_conv"], f"{blk}.up_conv.1")
-            set_conv(params[name]["conv0"], f"{blk}.net.0")
-            set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.net.2")
-            set_conv(params[name]["conv1"], f"{blk}.net.3")
-            set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.net.4")
+            if "qconv" in params[name]:  # SimpleUpBlock
+                set_conv(params[name]["up_qconv"], f"{blk}.up_conv.1")
+                set_conv(params[name]["qconv"], f"{blk}.net.0")
+                set_bn(params[name]["bn"], stats[name]["bn"], f"{blk}.net.1")
+            else:
+                set_conv(params[name]["up_conv"], f"{blk}.up_conv.1")
+                set_conv(params[name]["conv0"], f"{blk}.net.0")
+                set_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.net.2")
+                set_conv(params[name]["conv1"], f"{blk}.net.3")
+                set_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.net.4")
         elif name == "final_conv":
             set_conv(params[name], "final_conv")
 
@@ -158,48 +168,78 @@ def import_torch_state_dict(net, state_dict, strict: bool = True):
     return variables
 
 
-def export_torch_state_dict(net, weights_key: str = "weights"):
+def _reference_weights_key(net) -> str:
+    """The reference's quantum-weight attribute name for this model class:
+    every ``QIDDM_*`` class declares ``self.weights1`` EXCEPT
+    ``QIDDM_A_sameN`` (``self.weights``); all other families use
+    ``self.weights`` (grep-verified over reference nn/qdense.py)."""
+    name = type(net).__name__
+    if name.startswith("QIDDM") and name != "QIDDM_A_sameN":
+        return "weights1"
+    return "weights"
+
+
+def export_torch_state_dict(net, weights_key: str = None,
+                            prefix: str = "net.", strict: bool = True):
     """Inverse of :func:`import_torch_state_dict`: emit a reference-named
     torch-style ``state_dict`` (numpy values) from a qiddm_tpu model.
 
     Completes the round trip — checkpoints trained here can be taken BACK
-    to the reference codebase (its ``load_model``/driver ``load_model``
-    call ``load_state_dict`` on these exact key names,
-    reference src/mnist_exm.py:294-323). Layouts invert the torch->flax
-    rules: Linear kernels transpose back, Conv HWIO -> OIHW.
+    to the reference codebase. Layouts invert the torch->flax rules
+    (Linear kernels transpose back, Conv HWIO -> OIHW).
 
-    ``weights_key`` names the quantum weight tensor ("weights" for most
-    reference classes; a few use "weights1").
+    ``prefix`` defaults to ``"net."`` because the reference DRIVERS save
+    ``diff.state_dict()`` of the Diffusion wrapper whose model attribute
+    is ``self.net`` (src/mnist_exm.py:197-201, load at :315) — its shipped
+    checkpoints all carry ``net.``-prefixed keys. Pass ``prefix=""`` for
+    the per-model ``Model.load_model`` path, which loads the bare
+    ``self.state_dict()`` (reference nn/qdense.py:1862-1870).
+
+    ``weights_key`` names the quantum weight tensor; default (None) picks
+    the class-correct reference name via :func:`_reference_weights_key`.
+
+    ``strict`` raises if any param leaf was not exported (e.g. a family
+    the mapping does not know), instead of silently dropping weights.
     """
+    if weights_key is None:
+        weights_key = _reference_weights_key(net)
     variables = jax.tree_util.tree_map(np.asarray, net.variables)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     sd = {}
+    n_exported = [0]  # param leaves actually written (strict accounting)
 
-    def put_linear(src, prefix):
-        sd[f"{prefix}.weight"] = np.asarray(src["kernel"]).T
+    def put_linear(src, pre):
+        sd[f"{pre}.weight"] = np.asarray(src["kernel"]).T
+        n_exported[0] += 1
         if "bias" in src:
-            sd[f"{prefix}.bias"] = np.asarray(src["bias"])
+            sd[f"{pre}.bias"] = np.asarray(src["bias"])
+            n_exported[0] += 1
 
-    def put_conv(src, prefix):
+    def put_conv(src, pre):
         if "qweights" in src:
-            sd[f"{prefix}.weights"] = np.asarray(src["qweights"])
+            sd[f"{pre}.weights"] = np.asarray(src["qweights"])
+            n_exported[0] += 1
             return
         src = src["Conv_0"] if "Conv_0" in src else src
-        sd[f"{prefix}.weight"] = np.asarray(src["kernel"]).transpose(
+        sd[f"{pre}.weight"] = np.asarray(src["kernel"]).transpose(
             3, 2, 0, 1)  # flax HWIO -> torch OIHW
+        n_exported[0] += 1
         if "bias" in src:
-            sd[f"{prefix}.bias"] = np.asarray(src["bias"])
+            sd[f"{pre}.bias"] = np.asarray(src["bias"])
+            n_exported[0] += 1
 
-    def put_bn(psrc, ssrc, prefix):
-        sd[f"{prefix}.weight"] = np.asarray(psrc["scale"])
-        sd[f"{prefix}.bias"] = np.asarray(psrc["bias"])
-        sd[f"{prefix}.running_mean"] = np.asarray(ssrc["mean"])
-        sd[f"{prefix}.running_var"] = np.asarray(ssrc["var"])
-        sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+    def put_bn(psrc, ssrc, pre):
+        sd[f"{pre}.weight"] = np.asarray(psrc["scale"])
+        sd[f"{pre}.bias"] = np.asarray(psrc["bias"])
+        sd[f"{pre}.running_mean"] = np.asarray(ssrc["mean"])
+        sd[f"{pre}.running_var"] = np.asarray(ssrc["var"])
+        sd[f"{pre}.num_batches_tracked"] = np.asarray(0, np.int64)
+        n_exported[0] += 2
 
     if "qweights" in params:
         sd[weights_key] = np.asarray(params["qweights"])
+        n_exported[0] += 1
     if "linear_down" in params:
         put_linear(params["linear_down"], "linear_down")
     if "linear_up" in params:
@@ -214,40 +254,79 @@ def export_torch_state_dict(net, weights_key: str = "weights"):
         if name.startswith("down"):
             i = name[4:]
             blk = f"down_blocks.{i}.net"
-            put_conv(params[name]["conv0"], f"{blk}.0")
-            put_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.1")
-            put_conv(params[name]["conv1"], f"{blk}.3")
-            put_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.4")
+            if "qconv" in params[name]:  # SimpleDownBlock
+                put_conv(params[name]["qconv"], f"{blk}.0")
+                put_bn(params[name]["bn"], stats[name]["bn"], f"{blk}.1")
+            else:
+                put_conv(params[name]["conv0"], f"{blk}.0")
+                put_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.1")
+                put_conv(params[name]["conv1"], f"{blk}.3")
+                put_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.4")
         elif name.startswith("up") and name != "up_conv":
             i = name[2:]
             blk = f"up_blocks.{i}"
-            put_conv(params[name]["up_conv"], f"{blk}.up_conv.1")
-            put_conv(params[name]["conv0"], f"{blk}.net.0")
-            put_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.net.2")
-            put_conv(params[name]["conv1"], f"{blk}.net.3")
-            put_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.net.4")
+            if "qconv" in params[name]:  # SimpleUpBlock
+                put_conv(params[name]["up_qconv"], f"{blk}.up_conv.1")
+                put_conv(params[name]["qconv"], f"{blk}.net.0")
+                put_bn(params[name]["bn"], stats[name]["bn"], f"{blk}.net.1")
+            else:
+                put_conv(params[name]["up_conv"], f"{blk}.up_conv.1")
+                put_conv(params[name]["conv0"], f"{blk}.net.0")
+                put_bn(params[name]["bn0"], stats[name]["bn0"], f"{blk}.net.2")
+                put_conv(params[name]["conv1"], f"{blk}.net.3")
+                put_bn(params[name]["bn1"], stats[name]["bn1"], f"{blk}.net.4")
         elif name == "final_conv":
             put_conv(params[name], "final_conv")
-    return sd
+
+    n_total = len(jax.tree_util.tree_leaves(params))
+    if strict and n_exported[0] != n_total:
+        raise ValueError(
+            f"export mapped {n_exported[0]} of {n_total} param leaves — "
+            f"unknown layer names in {sorted(params)} (pass strict=False "
+            f"to export the known subset)")
+    return {prefix + k: v for k, v in sd.items()}
 
 
 def save_reference_checkpoint(net, path, loss_values=None, epochs: int = 0,
-                              weights_key: str = "weights"):
+                              weights_key: str = None, prefix: str = "net.",
+                              strict: bool = True):
     """Write a reference-compatible torch ``.pt`` checkpoint (the
     ``{'model_state_dict', 'loss_values', 'epochs'}`` dict layout the
-    reference drivers save and load, src/mnist_exm.py:197-201,294-323)."""
+    reference drivers save and load, src/mnist_exm.py:197-201,294-323).
+
+    Models holding a fitted PCA (the ``pca_state`` variables collection)
+    additionally get a pickled ``sklearn.decomposition.PCA`` under the
+    ``pca_state`` checkpoint key, exactly as the reference's
+    ``QIDDM_PP.save_model`` writes and its ``load_model`` reads
+    (reference nn/qdense.py:1852-1870)."""
     import torch
 
     # .copy(): jax arrays surface as non-writable numpy views, which torch
     # rejects (from_numpy shares memory)
     sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy()) if np.ndim(v)
           else torch.tensor(v)
-          for k, v in export_torch_state_dict(net, weights_key).items()}
+          for k, v in export_torch_state_dict(
+              net, weights_key, prefix=prefix, strict=strict).items()}
+    out = {"model_state_dict": sd,
+           "loss_values": list(loss_values or []),
+           "epochs": int(epochs)}
+    pca = net.variables.get("pca_state") if hasattr(net, "variables") else None
+    if pca:
+        import pickle
+
+        from sklearn.decomposition import PCA
+
+        comps = np.asarray(pca["components"])
+        obj = PCA(n_components=comps.shape[0])
+        obj.components_ = comps.astype(np.float64)
+        obj.mean_ = np.asarray(pca["mean"], np.float64)
+        obj.n_components_ = comps.shape[0]
+        obj.n_features_in_ = comps.shape[1]
+        obj.whiten = False
+        out["pca_state"] = pickle.dumps(obj)
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    torch.save({"model_state_dict": sd,
-                "loss_values": list(loss_values or []),
-                "epochs": int(epochs)}, path)
+    torch.save(out, path)
     return path
 
 
@@ -261,6 +340,16 @@ def load_reference_checkpoint(net, path, strict: bool = True):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
     import_torch_state_dict(net, sd, strict=strict)
+    if "pca_state" in ckpt and "pca_state" in net.variables:
+        import pickle
+
+        obj = pickle.loads(ckpt["pca_state"])
+        variables = dict(net.variables)
+        variables["pca_state"] = {
+            "mean": np.asarray(obj.mean_, np.float32),
+            "components": np.asarray(obj.components_, np.float32),
+        }
+        net.variables = variables
     return ckpt.get("loss_values", []), ckpt.get("epochs", 0)
 
 

@@ -199,14 +199,10 @@ class Diffusion:
         the forward loop)."""
         goal = self.prediction_goal
         net = self.net
-        if mesh is not None:
-            from .parallel.mesh import dp_constraint
-        else:
-            dp_constraint = None
+        from .parallel.mesh import dp_constraint  # no-op when mesh is None
 
         def body(x, _):
-            if dp_constraint is not None:
-                x = dp_constraint(x, mesh)
+            x = dp_constraint(x, mesh)
             pred = net.module.apply(variables, x, train=False, mutable=False)
             if goal == "data":
                 new_x = pred

@@ -19,6 +19,10 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available")
         devices = devices[:n_devices]
     n = len(devices)
     if axis_sizes is None:

@@ -13,7 +13,6 @@ chip. A guard raises above 12 wires.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax.numpy as jnp
@@ -90,20 +89,21 @@ def apply_kraus_all_wires(rho, kraus):
 # elementwise block scalings plus one block move/trace each — O(B d^2)
 # cheap VPU ops with no tiny-axis contractions.
 
-@functools.lru_cache(maxsize=None)
-def _phase_damp_mask(wires: int, gamma: float):
+def _phase_damp_mask(wires: int, gamma: float, dtype):
     """All-wires phase damping: rho'[i,j] = rho[i,j] * s^hamming(i xor j),
     s = sqrt(1-gamma) (off-diagonal coherence decays per differing bit;
-    diagonals untouched)."""
-    import numpy as np
-
-    i = np.arange(2**wires)
+    diagonals untouched). Built on device from iotas — a host-side cache
+    would retain an O(4^wires) array per (wires, gamma) across intensity
+    sweeps and bake each one into its program as a constant."""
+    i = jnp.arange(2**wires, dtype=jnp.int32)
     x = i[:, None] ^ i[None, :]
-    ham = np.zeros_like(x)
-    while x.any():
-        ham += x & 1
-        x >>= 1
-    return np.sqrt(1.0 - gamma) ** ham
+    ham = jnp.zeros_like(x)
+    for _ in range(wires):
+        ham = ham + (x & 1)
+        x = x >> 1
+    rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    s = jnp.sqrt(jnp.asarray(1.0 - gamma, rdt))
+    return jnp.power(s, ham.astype(rdt)).astype(dtype)
 
 
 def _amp_damp_wire(rho, gamma: float, wire: int, wires: int):
@@ -143,7 +143,7 @@ def apply_channel_all_wires(rho, kind: str, strength: float):
     """
     w = _nwires(rho)
     if kind == "phase_damping":
-        mask = jnp.asarray(_phase_damp_mask(w, float(strength)), rho.dtype)
+        mask = _phase_damp_mask(w, float(strength), rho.dtype)
         return rho * mask[None]
     if kind == "amplitude_damping":
         for j in range(w):

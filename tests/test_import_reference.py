@@ -148,6 +148,8 @@ def test_import_quantum_unet_statedict():
     lambda s: nn.QDenseUndirected_old_noise(3, 8, 0, seed=s),
     lambda s: nn.QIDDM_L_B(64, 4, 2, 1, seed=s),       # batchnorm stats
     lambda s: nn.UNetUndirected(2, 4, 0, seed=s),       # UNet family
+    lambda s: nn.UNetUndirectedS(2, 4, 3, seed=s),      # simple quantum UNet
+    lambda s: nn.QIDDM_PP_old(64, 2, 2, 1, seed=s),     # pickled-PCA family
 ])
 def test_export_roundtrip(make, tmp_path):
     """export_torch_state_dict inverts import_torch_state_dict: a model
@@ -170,3 +172,22 @@ def test_export_roundtrip(make, tmp_path):
     losses, epochs = load_reference_checkpoint(dst, p, strict=True)
     assert losses == [0.3, 0.2] and epochs == 7
     np.testing.assert_allclose(np.asarray(dst(x)), want, atol=1e-6)
+
+
+def test_export_key_names_match_shipped_checkpoint(emnist_ckpts):
+    """The exported state_dict's key SET must equal the reference's own
+    shipped checkpoint keys for the same model class — the definitive
+    driver-compat check (net.-prefixed, weights1 naming, bn running
+    stats)."""
+    import torch
+
+    from qiddm_tpu.ckpt import export_torch_state_dict
+
+    p = next(emnist_ckpts.rglob("QIDDM_PL_noise=8_L=6_N=2_noise_22.pt"))
+    shipped = torch.load(p, map_location="cpu", weights_only=False)
+    shipped_keys = set(shipped["model_state_dict"].keys())
+    ours = set(export_torch_state_dict(
+        nn.QIDDM_PL_noise(784, 8, 6, 2, 0)).keys())
+    assert ours == shipped_keys, (
+        f"missing={sorted(shipped_keys - ours)} "
+        f"extra={sorted(ours - shipped_keys)}")

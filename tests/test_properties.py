@@ -91,10 +91,12 @@ def test_channels_trace_preserving(kind, strength):
                   max_size=2 * 2 * WIRES * 3),
        x=st.lists(floats, min_size=WIRES, max_size=WIRES))
 def test_native_engine_matches_jax_engine(w, x):
+    import pytest
+
     from qiddm_tpu import native
 
     if not native.available():
-        return
+        pytest.skip("native engine unavailable")
     w = np.asarray(w, np.float32).reshape(2, 2, WIRES, 3)
     x = np.asarray(x, np.float32)
     jax_out = np.asarray(sim.reupload_block(
