@@ -54,14 +54,16 @@ def matmul_precision() -> str:
 # force the pure-XLA path (e.g. for A/B benchmarking).
 _USE_PALLAS = True
 
-# The fused gate-chain kernel keeps the full (2**w, B) state planes plus
-# per-gate temporaries in scoped VMEM; measured on v5e (16M scoped limit):
-# w=10 compiles fine at any reference depth (L=14, k=2), w=11+ OOMs
-# (18.2M scoped) independent of depth, and w=16 additionally hits
-# pathological Mosaic compile times. Above this cap the engine uses the
-# gate-level XLA path instead (same O(L k w B d) work, scan-structured
-# program: 24 s compile + 240 ms/step fwd+bwd at w=16). The reference's
-# own circuits never exceed 10 wires (PennyLane warns above that).
+# The fused gate-chain kernels keep the full (2**w, B) state planes plus
+# per-gate temporaries in scoped VMEM (96M limit via compiler params).
+# Measured on v5e: w<=10 compiles in seconds at any reference depth;
+# w=11-12 compile (2-14 min Mosaic wall) and run 1.3-1.4x faster than the
+# XLA route (5.1 vs 7.3 ms/step at w=11, 9.5 vs 12.4 at w=12, L=14 k=2
+# B=8) — raise the cap with set_pallas_max_wires(12) to opt in; beyond
+# that Mosaic compile time is pathological (w=16 never finished). Above
+# the cap the engine uses the gate-level XLA path (same O(L k w B d)
+# work, scan-structured program: 24 s compile + 240 ms/step at w=16).
+# The reference's own circuits never exceed 10 wires.
 _PALLAS_MAX_WIRES = 10
 
 

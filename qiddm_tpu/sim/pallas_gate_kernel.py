@@ -231,6 +231,7 @@ def _gate_chain_fwd_call(pr, pi, g8, signs, k, w, interpret):
     kern = functools.partial(_fwd_kernel, k, w, n_layers)
     return pl.pallas_call(
         kern,
+        compiler_params=_SEL_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -262,6 +263,7 @@ def _gate_chain_bwd(k, w, interpret, res, g):
     kern = functools.partial(_bwd_kernel, k, w, n_layers)
     dg, dpr, dpi = pl.pallas_call(
         kern,
+        compiler_params=_SEL_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
