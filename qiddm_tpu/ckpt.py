@@ -371,3 +371,69 @@ def load_diffusion(diff, load_path, label) -> Tuple[List[float], int]:
     diff.net.variables = restored
     print("Model loaded successfully.\n")
     return ckpt.get("loss_values", []), ckpt.get("epochs", 0)
+
+
+# --- orbax backend (TPU-native production checkpointing) -------------------
+
+def save_orbax(path, variables, *, loss_values=None, epochs: int = 0,
+               opt_state=None, async_save: bool = False):
+    """Write an orbax checkpoint of the model variables (+ optional
+    optimizer state) — the TPU-native production path (SURVEY §5.4).
+
+    Unlike the ``.pt`` pickles (kept for reference artifact parity), orbax
+    stores each array as a tensorstore — sharded arrays save WITHOUT
+    gathering to one host, and :func:`load_orbax` can restore directly
+    onto a device mesh. ``async_save=True`` returns immediately and
+    persists in a background thread (call ``wait_until_finished`` on the
+    returned checkpointer, or just let the next save/exit join it) —
+    training never blocks on IO.
+
+    Returns the checkpointer (caller may keep it for async completion).
+    """
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    state = {"variables": variables,
+             "meta": {"loss_values": list(loss_values or []),
+                      "epochs": int(epochs)}}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    if async_save:
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        return ckptr
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    # StandardCheckpointer commits in a background thread in recent
+    # orbax — join so the checkpoint is durable when we return
+    ckptr.wait_until_finished()
+    return ckptr
+
+
+def load_orbax(path, *, like=None, sharding=None):
+    """Restore an orbax checkpoint.
+
+    ``like``: an example state pytree (e.g. ``{"variables":
+    net.variables}``-shaped) giving dtypes/shapes. ``sharding``: optional
+    pytree (or single ``jax.sharding.Sharding`` applied to every leaf) —
+    arrays are restored DIRECTLY onto the mesh with that placement, never
+    materializing unsharded copies on one device.
+
+    Returns the restored state dict ({"variables", "meta"[, "opt_state"]}).
+    """
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    if like is None:
+        return ckptr.restore(path)
+    if "meta" not in like:
+        # save_orbax always writes the meta leaf; fill the template so
+        # callers only need to describe their arrays
+        like = dict(like, meta={"loss_values": [], "epochs": 0})
+    target = jax.tree_util.tree_map(
+        lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+                   if sharding is not None and hasattr(x, "shape")
+                   else x),
+        like)
+    return ckptr.restore(path, target)

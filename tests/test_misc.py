@@ -173,3 +173,48 @@ print("X64_SHARDED_OK", err)
     out = subprocess.run([sys.executable, "-c", code % repo],
                          capture_output=True, text=True, timeout=300)
     assert "X64_SHARDED_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: save (sync + async) and restore, including restore
+    directly onto a mesh sharding."""
+    import jax
+    import jax.numpy as jnp
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.ckpt import load_orbax, save_orbax
+    from qiddm_tpu.parallel import make_mesh
+
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=0)
+    save_orbax(tmp_path / "ck1", net.variables, loss_values=[0.4, 0.3],
+               epochs=2)
+    got = load_orbax(tmp_path / "ck1")
+    assert got["meta"]["epochs"] == 2 and got["meta"]["loss_values"][1] == 0.3
+    for a, b in zip(jax.tree_util.tree_leaves(got["variables"]),
+                    jax.tree_util.tree_leaves(net.variables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # async save joins before restore
+    ck = save_orbax(tmp_path / "ck2", net.variables, async_save=True)
+    ck.wait_until_finished()
+    again = load_orbax(tmp_path / "ck2", like={
+        "variables": net.variables,
+        "meta": {"loss_values": [], "epochs": 0}})
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(again["variables"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(net.variables)[0]))
+
+    # stacked per-trial params restored straight onto the 8-device mesh
+    mesh = make_mesh(8, ("trial",))
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("trial"))
+    stacked = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * 8), net.variables["params"])
+    save_orbax(tmp_path / "ck3", stacked)
+    restored = load_orbax(tmp_path / "ck3", like={"variables": stacked},
+                          sharding=sharding)
+    leaf = jax.tree_util.tree_leaves(restored["variables"])[0]
+    assert "trial" in str(leaf.sharding.spec)
+    np.testing.assert_allclose(
+        np.asarray(leaf),
+        np.asarray(jax.tree_util.tree_leaves(stacked)[0]))
