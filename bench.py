@@ -67,8 +67,10 @@ def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
               f"wall={wall:.4f}s, setup={setup_s:.1f}s (compile+warmup), "
               f"denoiser-steps/s={n_images * tau / wall:.0f}, "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    # the denoiser runs on the PAIRED chain rows: tau+1 noise levels pair
+    # t+1 -> t, so the per-step circuit batch is B*tau (not B*(tau+1))
     util = _reupload_roofline(
-        batch=batch_size * (tau + 1), wires=net.module.hidden,
+        batch=batch_size * tau, wires=net.module.hidden,
         L=net.module.L, k=net.module.k, N=net.module.N,
         steps_per_s=steps / wall)
     return {

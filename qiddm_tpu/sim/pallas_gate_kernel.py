@@ -368,7 +368,7 @@ def _sel_fwd_kernel(w: int, depth: int, is_cz: bool,
 
 
 def _sel_bwd_kernel(w: int, depth: int, is_cz: bool,
-                    sr0_ref, si0_ref, g_ref, sgn_ref, fr_ref, fi_ref,
+                    g_ref, sgn_ref, fr_ref, fi_ref,
                     gr_ref, gi_ref, dg_ref, dsr_ref, dsi_ref):
     d, B = fr_ref.shape
     p = max(w - 1, 1)
@@ -442,21 +442,24 @@ def _sel_chain_fwd_call(sr, si, g8, w, is_cz, interpret):
 
 def _sel_chain_fwd(sr, si, g8, w, is_cz, interpret):
     out = _sel_chain_fwd_call(sr, si, g8, w, is_cz, interpret)
-    return out, (sr, si, g8, out[0], out[1])
+    # residuals: gates + OUTPUT planes only — the backward reconstructs
+    # every intermediate (and the input cotangent) by walking the chain in
+    # reverse through adjoint gates; keeping the input planes alive too
+    # would be dead residual memory and VMEM traffic.
+    return out, (g8, out[0], out[1])
 
 
 def _sel_chain_bwd(w, is_cz, interpret, res, g):
-    sr0, si0, g8, fr, fi = res
+    g8, fr, fi = res
     gr, gi = g
-    d, B = sr0.shape
+    d, B = fr.shape
     depth = g8.shape[0]
     kern = functools.partial(_sel_bwd_kernel, w, depth, is_cz)
     dg, dsr, dsi = pl.pallas_call(
         kern,
         compiler_params=_SEL_COMPILER_PARAMS,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.SMEM),
-           pl.BlockSpec(memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -469,7 +472,7 @@ def _sel_chain_bwd(w, is_cz, interpret, res, g):
             jax.ShapeDtypeStruct((d, B), jnp.float32),
         ],
         interpret=interpret,
-    )(sr0, si0, g8, _sel_signs(w, depth), fr, fi, gr, gi)
+    )(g8, _sel_signs(w, depth), fr, fi, gr, gi)
     return dsr, dsi, dg
 
 

@@ -117,8 +117,28 @@ def test_bench_path_smoke(capsys):
     assert rec["value"] > 0
     assert "images" in detail
     assert util["achieved_gflops"] > 0 and "pct_of_v5e_bf16_peak" in util
-    # the driver contract: main() prints the primary record as ONE JSON line
-    json.dumps(rec)
+
+
+def test_bench_main_driver_contract(monkeypatch, capsys):
+    """main() must print the primary record as ONE JSON line on stdout
+    (the driver parses it); everything else goes to stderr as comments."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import bench
+
+    monkeypatch.setattr(bench, "bench_qiddm_a", lambda: (
+        {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 1.0},
+        "detail", {"achieved_gflops": 1.0}))
+    bench.main([])
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert all(ln.startswith("#") for ln in out.err.splitlines()
+               if ln.strip())
 
 
 @pytest.mark.slow

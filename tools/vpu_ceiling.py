@@ -79,7 +79,7 @@ def measure(d: int, batch: int, iters: int, chains: int = 1,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--d", type=int, default=1024)
-    ap.add_argument("--batch", type=int, default=88)
+    ap.add_argument("--batch", type=int, default=80)  # B*tau chain pairs
     ap.add_argument("--iters", type=int, default=4096)
     args = ap.parse_args(argv)
     # the gate-kernel geometry (d on sublanes, batch on lanes) and a
