@@ -277,6 +277,10 @@ MNIST_PROTOCOL = ScoreProtocol()
 FASHION_PROTOCOL = ScoreProtocol(False, True, False, 1, 10, True)
 EMNIST_PROTOCOL = ScoreProtocol(False, True, False, 1, 20, True)
 REBUTTAL_PROTOCOL = ScoreProtocol(False, True, True, 10, 20, False)
+# noise drivers (src/mnist_noise.py:240-262,513-526 / fashion_noise clones):
+# generated kept in [0,255] (clamp x255, no per-step renorm), real min-max
+# then x255+clamp, all four metrics at (gen=1, real=2)
+NOISE_PROTOCOL = ScoreProtocol(False, True, False, 1, 2, True)
 
 
 def test(diff, args, x_train, x_test, first_x, tau_test: int = 15,
@@ -369,6 +373,7 @@ def load_outp(diff, load_path, noise_intensity):
 
 
 def run_labels_vmapped(args, labels, *, tau_test: int = 15,
+                       augment_to: Optional[int] = None,
                        protocol: ScoreProtocol = MNIST_PROTOCOL):
     """Train EVERY label's model simultaneously in one vmapped program.
 
@@ -386,6 +391,20 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15,
     labels = list(labels)
     x_all, y_all, height, width = load_dataset(args)
     per_label = [x_all[y_all == l] for l in labels]
+    for l, v in zip(labels, per_label):
+        if len(v) == 0:
+            raise ValueError(
+                f"label {l} has no images in dataset {args.data!r} "
+                f"(available labels: {sorted(set(int(v) for v in y_all))})")
+    if augment_to:
+        # rebuttal rotation augmentation per label (reference
+        # src/bloodmnist.py:337-342) BEFORE the common-size truncation
+        aug = []
+        for l, v in zip(labels, per_label):
+            xa, _ = augment_rotation(
+                v, np.full(len(v), l), height, width, augment_to, args.seed)
+            aug.append(xa)
+        per_label = aug
     n_min = min(len(v) for v in per_label)
     n_min = max(int(n_min * args.reduced_size), 2)
     cutoff = max(int(n_min * 0.8), 1)
@@ -484,6 +503,7 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
     validate_args(args)
     if getattr(args, "vmap_labels", False):
         return run_labels_vmapped(args, labels, tau_test=tau_test,
+                                  augment_to=augment_to,
                                   protocol=protocol)
     original_save, original_load = args.save_path, args.load_path
 
@@ -508,6 +528,10 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
         mask = y_all == label
         x_lab = x_all[mask]
         y_lab = y_all[mask]
+        if len(x_lab) == 0:
+            raise ValueError(
+                f"label {label} has no images in dataset {args.data!r} "
+                f"(available labels: {sorted(set(int(v) for v in y_all))})")
         x_lab = x_lab[: int(len(x_lab) * args.reduced_size)]
         y_lab = y_lab[: len(x_lab)]
         print(f"description of dataset: len of x_train: {x_lab.shape}\n")

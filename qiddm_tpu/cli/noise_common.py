@@ -101,12 +101,13 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
                 if cached is not None:
                     generated, real = common.test(
                         diff, args, x_train, x_test, first_x,
-                        tau_test=tau_test, save_images=False, grid=cached)
+                        tau_test=tau_test, save_images=False, grid=cached,
+                        protocol=common.NOISE_PROTOCOL)
                 else:
                     generated, real, grid = common.test(
                         diff, args, x_train, x_test, first_x,
                         tau_test=tau_test, save_images=False,
-                        return_grid=True)
+                        return_grid=True, protocol=common.NOISE_PROTOCOL)
                     common.save_outp(diff, args, grid, intensity)
                 key = f"{diff.save_name()}_{add_noise}_{intensity}"
                 generated_dict[key] = generated

@@ -63,9 +63,12 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
     """Train ``len(lrs)`` trials of the same architecture simultaneously.
 
     make_net(seed) -> DenoiserShim (used once for structure; per-trial params
-    re-initialized with per-trial seeds). ``rungs``: optional keep-fractions
-    applied at evenly spaced epoch checkpoints (successive halving) — trials
-    dropped at a rung keep their metrics from that rung.
+    re-initialized with per-trial seeds). ``rungs``: optional successive
+    halving — either a list of keep-fractions applied at evenly spaced
+    epoch checkpoints, or a list of ``(epoch, keep_frac)`` pairs giving
+    explicit rung points (``asha_rungs(epochs)`` builds AsyncHyperBand's
+    grace=1/reduction=4 geometry). Trials dropped at a rung keep their
+    metrics from that rung.
     """
     n_trials = len(lrs)
     proto = make_net(seed)
@@ -127,7 +130,9 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
         first_x = jax.random.uniform(
             jax.random.PRNGKey(seed + 7), (15, 1, h, w)) * 0.75 + 0.5
 
-    rung_epochs = _rung_plan(epochs, rungs)
+    # a single trial can never be dropped at a rung — run it as one
+    # program instead of compiling a fresh segment per rung point
+    rung_epochs = _rung_plan(epochs, rungs if n_trials > 1 else None)
     loss_curves = np.zeros((n_trials, epochs), np.float32)
     last_epoch = np.zeros((n_trials,), np.int64)
     ssims = np.zeros((n_trials,), np.float32)

@@ -126,7 +126,7 @@ def test_ray_driver_small(tmp_path, monkeypatch):
         "--data", "mnist_8x8", "--img_size", "8", "--label", "4",
         "--ds-size", "150", "--num-samples", "4", "--epochs", "2",
         "--batch_size", "8", "--tau", "2", "--hidden", "4",
-        "--L-min", "2", "--L-max", "3",
+        "--L-min", "2", "--L-max", "2",  # ONE group: halving must bite
         "--local-dir", str(tmp_path / "tune_results"),
     ])
     assert len(rows) == 4
@@ -137,10 +137,14 @@ def test_ray_driver_small(tmp_path, monkeypatch):
     recs = [json.loads(r.read_text().strip()) for r in results]
     assert all("ssim" in r and "loss" in r and "early_stopped" in r
                for r in recs)
-    # default halving (AsyncHyperBand analogue) stops some trials at the
-    # epoch-1 rung whenever a group has >1 trial
-    if any(r["training_iteration"] < 2 for r in recs):
-        assert any(r["early_stopped"] for r in recs)
+    # default halving (AsyncHyperBand analogue, grace=1 reduction=4): the
+    # single 4-trial group MUST early-stop its bottom 3 at the epoch-1 rung
+    stopped = [r for r in recs if r["early_stopped"]]
+    assert len(stopped) == 3, recs
+    assert all(r["training_iteration"] == 1 for r in stopped)
+    survivors = [r for r in recs if not r["early_stopped"]]
+    assert survivors and all(r["training_iteration"] == 2
+                             for r in survivors)
 
 
 @pytest.mark.slow

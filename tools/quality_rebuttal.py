@@ -85,7 +85,18 @@ def main(argv=None):
         print(f"== {mod_name} done in {wall:.0f}s: {scores}")
         out = pathlib.Path(args.out)
         out.parent.mkdir(parents=True, exist_ok=True)
-        out.write_text(json.dumps(results, indent=2))
+        # NaN is invalid strict JSON (REBUTTAL_PROTOCOL leaves psnr/cos
+        # unset as float nan) — serialize them as null
+        def denan(o):
+            if isinstance(o, dict):
+                return {k: denan(v) for k, v in o.items()}
+            if isinstance(o, list):
+                return [denan(v) for v in o]
+            if isinstance(o, float) and o != o:
+                return None
+            return o
+
+        out.write_text(json.dumps(denan(results), indent=2))
     print(f"wrote {args.out}")
 
 
