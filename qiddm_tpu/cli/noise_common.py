@@ -13,7 +13,6 @@ engages automatically for non-unitary channels.
 
 from __future__ import annotations
 
-import numpy as np
 
 from .. import metrics
 from ..ckpt import load_diffusion

@@ -16,7 +16,6 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .. import pca as pca_mod
 from ..sim import engine
