@@ -86,8 +86,9 @@ class _DirectedConvShim(DenoiserShim):
                 jax.random.PRNGKey(seed), dummy_x, dummy_y)
 
     def __call__(self, x, y=None, train: bool = False):
-        return self._jitted_apply_directed(train)(
+        out = self._jitted_apply_directed(train)(
             self.variables, jnp.asarray(x), np.asarray(y))
+        return self._fold_mutable(out, train)
 
 
 class DeepConvDirectedMulti(_DirectedConvShim):

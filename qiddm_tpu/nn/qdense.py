@@ -363,7 +363,14 @@ class QIDDM_PL_noise(_ReuploadShim):
 
 
 class QIDDM_PL_noise1(_ReuploadShim):
-    """Reference nn/qdense.py:565-667 (RY re-uploading variant)."""
+    """Reference nn/qdense.py:565-667 (RY re-uploading variant).
+
+    Faithful quirk: the reference gives this class the SAME ``save_name``
+    format as ``QIDDM_PL_noise`` (both return ``QIDDM_PL_noise=...``,
+    reference :646 vs :1466), so checkpoints of the two architecturally
+    different circuits (RY vs RZ encode) collide on disk. Kept for
+    artifact parity; use distinct save paths when training both.
+    """
 
     def __init__(self, input_dim, hidden_features, spectrum_layer, N,
                  add_noise=0, device_type="lightning.qubit", seed: int = 0, init_batch=None):

@@ -80,19 +80,32 @@ class DenoiserShim:
         return self.module.apply(variables, x, train=train, mutable=mutable)
 
     # --- torch-like surface -------------------------------------------------
+    # train=True must open the model's mutable collections (batch_stats) —
+    # a BatchNorm model crashes under flax otherwise; the updated stats are
+    # folded back into self.variables like torch's in-place running stats.
     def _jitted_apply(self, train: bool):
         cache = getattr(self, "_apply_cache", None)
         if cache is None:
             cache = self._apply_cache = {}
         if train not in cache:
             module = self.module
+            mutable = self.mutable_collections if train else False
             cache[train] = jax.jit(
-                lambda v, x: module.apply(v, x, train=train, mutable=False))
+                lambda v, x: module.apply(v, x, train=train,
+                                          mutable=mutable))
         return cache[train]
 
     def __call__(self, x, train: bool = False):
         # jit (cached): the axon TPU backend cannot execute ops eagerly
-        return self._jitted_apply(train)(self.variables, jnp.asarray(x))
+        out = self._jitted_apply(train)(self.variables, jnp.asarray(x))
+        return self._fold_mutable(out, train)
+
+    def _fold_mutable(self, out, train: bool):
+        if not (train and self.mutable_collections):
+            return out
+        out, new_vars = out
+        self.variables = {**self.variables, **new_vars}
+        return out
 
     def _jitted_apply_directed(self, train: bool):
         cache = getattr(self, "_apply_cache_dir", None)
@@ -100,9 +113,10 @@ class DenoiserShim:
             cache = self._apply_cache_dir = {}
         if train not in cache:
             module = self.module
+            mutable = self.mutable_collections if train else False
             cache[train] = jax.jit(
                 lambda v, x, y: module.apply(v, x, y, train=train,
-                                             mutable=False))
+                                             mutable=mutable))
         return cache[train]
 
     def forward(self, x):

@@ -264,8 +264,9 @@ class UnetDirected(DenoiserShim):
     def __call__(self, x, y=None, train: bool = False):
         import numpy as _np
 
-        return self._jitted_apply_directed(train)(
+        out = self._jitted_apply_directed(train)(
             self.variables, jnp.asarray(x), _np.asarray(y))
+        return self._fold_mutable(out, train)
 
 
 class UNetUndirectedS(DenoiserShim):

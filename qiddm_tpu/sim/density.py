@@ -29,6 +29,12 @@ def _nwires(rho):
 
 def from_statevector(states):
     """|psi><psi| for a batch of pure states: (b, d) -> (b, d, d)."""
+    wires = int(math.log2(states.shape[-1]))
+    if wires > MAX_DM_WIRES:
+        raise ValueError(
+            f"density-matrix mode capped at {MAX_DM_WIRES} wires "
+            f"(rho would be {4**wires} complex amplitudes per sample); "
+            f"got {wires}")
     return states[:, :, None] * jnp.conj(states)[:, None, :]
 
 

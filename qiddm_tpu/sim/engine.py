@@ -96,7 +96,12 @@ def noise_from_code(code: int, family: str,
     table = _FAMILY_NOISE[family]
     placement = table["placement"]
     if code == 4:
-        return NoiseModel("rot_angle", float(intensity or 0.0), "encode")
+        if intensity is None:
+            raise ValueError(
+                "add_noise=4 (Rotation Angle error) requires an explicit "
+                "noise intensity — a silent 0.0 would be a no-op labeled "
+                "as a noise run")
+        return NoiseModel("rot_angle", float(intensity), "encode")
     kind, strength = table[code]
     if intensity is not None:
         strength = float(intensity)

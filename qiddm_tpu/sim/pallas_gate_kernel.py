@@ -400,7 +400,7 @@ def _sel_chain(sr, si, g8, w: int, is_cz: bool, interpret: bool):
     return _sel_chain_fwd_call(sr, si, g8, w, is_cz, interpret)
 
 
-def _sel_signs(w: int, depth: int) -> jnp.ndarray:
+def _sel_signs(w: int) -> jnp.ndarray:
     p = max(w - 1, 1)
     return jnp.asarray(np.stack(
         [cz_ring_signs(w, (q + 1) if w > 1 else 0)[:, None]
@@ -437,7 +437,7 @@ def _sel_chain_fwd_call(sr, si, g8, w, is_cz, interpret):
             jax.ShapeDtypeStruct((d, B), jnp.float32),
         ],
         interpret=interpret,
-    )(sr, si, g8, _sel_signs(w, depth))
+    )(sr, si, g8, _sel_signs(w))
 
 
 def _sel_chain_fwd(sr, si, g8, w, is_cz, interpret):
@@ -472,7 +472,7 @@ def _sel_chain_bwd(w, is_cz, interpret, res, g):
             jax.ShapeDtypeStruct((d, B), jnp.float32),
         ],
         interpret=interpret,
-    )(g8, _sel_signs(w, depth), fr, fi, gr, gi)
+    )(g8, _sel_signs(w), fr, fi, gr, gi)
     return dsr, dsi, dg
 
 

@@ -99,7 +99,6 @@ def run_qasm(qasm_str: str):
 
     wires = None
     ops = []
-    resets = []
     for raw in qasm_str.split("\n"):
         line = raw.strip()
         if not line or line.startswith(("OPENQASM", "include", "creg",

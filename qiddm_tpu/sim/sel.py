@@ -133,8 +133,7 @@ def sel_unitary(weights, imprimitive: str = "cnot"):
     weights: (layers, wires, 3) -> (2**wires, 2**wires). Composition is a
     ``lax.scan`` of matmuls: constant program size in depth.
     """
-    layers, wires, _ = weights.shape
-    dim = 2**wires
+    layers = weights.shape[0]
     lus = _entangled_layers(weights, imprimitive)
 
     if layers == 1:

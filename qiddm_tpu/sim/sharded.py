@@ -26,6 +26,7 @@ differentiable).
 from __future__ import annotations
 
 import math
+import functools
 from functools import partial
 import jax
 import jax.numpy as jnp
@@ -292,14 +293,26 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
+                             readout, dtype):
+    """Memoized program build: a fresh jax.jit closure per call would be a
+    new cache key every time, retracing/recompiling the whole shard_map
+    program on each eager invocation of the engine mesh route."""
+    spec = ShardedState(wires, mesh, axis)
+    return make_reupload_program(spec, L, k, imprimitive=imprimitive,
+                                 encode=encode, readout=readout,
+                                 dtype=jnp.dtype(dtype))
+
+
 def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
                            imprimitive: str = "cz", encode: str = "rz",
                            readout: str = "expvalz", dtype=jnp.complex64):
     """One-call form of make_reupload_program for engine routing."""
     L, k, wires, _ = block_weights.shape
-    spec = ShardedState(wires, mesh, axis)
-    fn = make_reupload_program(spec, L, k, imprimitive=imprimitive,
-                               encode=encode, readout=readout, dtype=dtype)
+    fn = _cached_reupload_program(wires, mesh, axis, int(L), int(k),
+                                  imprimitive, encode, readout,
+                                  jnp.dtype(dtype).name)
     return fn(x_enc, block_weights)
 
 

@@ -253,3 +253,33 @@ def test_qnn_full_chain_vs_oracle():
     q = oracle.expval_z(state, hidden)  # (hidden,), identical for every row
     want = (np.tile(q, (b, 1)) @ wu + bu).reshape(b, 1, side, side)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_batchnorm_models_train_mode_updates_stats():
+    """The torch-like surface must work in train mode for BatchNorm models
+    (regression: mutable=False crashed flax) and fold updated running
+    stats back into the shim, like torch's in-place stats."""
+    m = nn.QIDDM_L_B(16, 3, 2, 2)
+    x = jnp.asarray(RNG.uniform(size=(2, 1, 4, 4)), jnp.float32)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(m.variables["batch_stats"])[0]).copy()
+    out = m(x, train=True)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    after = np.asarray(
+        jax.tree_util.tree_leaves(m.variables["batch_stats"])[0])
+    assert not np.allclose(before, after)  # running stats moved
+    m(x, train=False)  # eval path still fine
+
+
+def test_dm_wire_cap_enforced_on_noise_route():
+    """qdense noise route with wires beyond MAX_DM_WIRES must raise the
+    documented cap error, not build a multi-GB density matrix."""
+    import pytest
+
+    from qiddm_tpu import sim
+
+    x = jnp.asarray(RNG.uniform(size=(2, 6000)), jnp.float32)
+    w = jnp.asarray(RNG.normal(size=(2, 13, 3)) * 0.4, jnp.float32)
+    with pytest.raises(ValueError, match="capped at 12 wires"):
+        sim.qdense_circuit(x, w, wires=13,
+                           noise=sim.NoiseModel("amplitude_damping", 0.1))
