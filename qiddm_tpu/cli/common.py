@@ -231,12 +231,14 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
                  contextlib.nullcontext())
     with trace_ctx:
         done = start_epoch
+        opt_state = None  # threaded across segments: Adam moments persist
         while remaining > 0:
             seg = min(remaining, ckpt_every) if ckpt_every else remaining
-            losses, wall = train_diffusion_scan(
+            losses, wall, opt_state = train_diffusion_scan(
                 diff, x_train, epochs=seg, batch_size=args.batch_size,
                 lr=args.lr, T=args.tau, warmup=False,
-                key=jax.random.PRNGKey(args.seed + done))
+                key=jax.random.PRNGKey(args.seed + done),
+                opt_state=opt_state, return_opt_state=True)
             loss_values = list(loss_values) + [float(v) for v in losses]
             done += seg
             remaining -= seg

@@ -156,6 +156,8 @@ def _load_mnist_like(name, roots, img_names, lbl_names, side, fallback="digits")
         imgs = imgs.astype(np.float64)
         if imgs.max() > 1.5:
             imgs = imgs / 255.0
+        if imgs.ndim == 4:  # (N, H, W, C) cache -> grayscale like siblings
+            imgs = imgs.mean(axis=-1)
         if imgs.shape[1] != side:
             imgs = _resize(imgs, side)
         return imgs, labels.astype(np.int64)

@@ -45,6 +45,10 @@ class Diffusion:
         self.net = net
         self.add_noise = noise_f
         self.prediction_goal = prediction_goal
+        # NOTE: ``shape`` is (height, width) — the drivers pass (h, w) from
+        # the loaders (cli/common.py) and every internal use follows that
+        # order; all reference datasets are square so the distinction never
+        # bites there, but external callers should pass (h, w).
         self.width, self.height = shape
         self.loss = loss
         self.training = False
@@ -146,6 +150,13 @@ class Diffusion:
         mesh's ``data`` axis (dataset stays replicated — it is tiny); XLA's
         SPMD partitioner inserts the gradient reductions over ICI. The
         expanded batch ``batch_size * T`` should divide the data-axis size.
+
+        Dropless partial batches: the final partial batch pads with copies
+        of row 0 that carry ZERO loss weight, so losses/gradients are
+        exact for row-independent models. Models with batch-COUPLED
+        forward computations (BatchNorm batch statistics, per-batch PCA
+        refits) see the padded rows in those statistics — pick a
+        batch_size dividing the dataset for bit-exactness there.
         """
         @functools.partial(jax.jit, static_argnames=("n_train",))
         def run(params, opt_state, extra_vars, key, x_train, n_train: int):

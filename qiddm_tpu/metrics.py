@@ -286,7 +286,7 @@ def show_metrics(values_dict, name, args, model_name=None, model_params=None,
     plt.figure(figsize=(8, 6))
     for idx, (_, values) in enumerate(values_dict.items()):
         kw = dict(linestyle="-", color=colors[idx % len(colors)],
-                  linewidth=line_width, label=legend_labels[idx])
+                  linewidth=line_width, label=legend_labels[idx % len(legend_labels)])
         if not is_loss:
             kw.update(marker=markers[idx % len(markers)],
                       markersize=marker_size)

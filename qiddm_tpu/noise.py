@@ -39,7 +39,9 @@ def normalize_mean(target_data, inp):
         inp = rearrange(inp, "(batch tau) pixels -> tau batch pixels", batch=batch)
     inp_mean = jnp.mean(inp, axis=-1, keepdims=True)  # (tau, batch, 1)
     orig_mean = jnp.mean(target_data, axis=-1, keepdims=True)[None]  # (1, b, 1)
-    moved = inp / inp_mean * orig_mean
+    # eps guard: an all-zero row (blank frame) gives inp_mean == 0, and
+    # 0/0 would NaN the whole chain (the sibling norms clamp the same way)
+    moved = inp / jnp.maximum(inp_mean, 1e-12) * orig_mean
     if btp:
         moved = rearrange(moved, "tau batch pixels -> (batch tau) pixels")
     return moved

@@ -57,6 +57,12 @@ def pca_fit(x, n_components: int) -> PCAState:
         vt = ((xc.T @ u) / jnp.maximum(s[None, :], 1e-12)).T  # (k_eff, D)
         signs = _svd_flip_signs(vt)
         components = vt * signs[:, None]
+        # Null-space eigenpairs (centering alone makes rank <= b-1; batches
+        # with duplicated rows lose more) have s ~ 0 and their vt rows are
+        # residual-noise / 1e-12 garbage of huge magnitude — zero them, the
+        # same convention as the rank < n_components zero padding below.
+        s_tol = jnp.max(s) * 1e-4 + 1e-12
+        components = jnp.where((s > s_tol)[:, None], components, 0.0)
         if k_eff < n_components:
             components = jnp.concatenate(
                 [components, jnp.zeros((n_components - k_eff, d),

@@ -19,7 +19,7 @@ import optax
 
 def train_diffusion(diff, x_train, *, epochs: int, batch_size: int, lr: float,
                     T: int, key=None, start_epoch: int = 0,
-                    verbose: bool = False) -> List[float]:
+                    verbose: bool = False, opt_state=None) -> List[float]:
     """Train ``diff`` (a Diffusion) in place; returns per-epoch loss values.
 
     Loss bookkeeping matches the reference: the recorded epoch value is the
@@ -34,7 +34,11 @@ def train_diffusion(diff, x_train, *, epochs: int, batch_size: int, lr: float,
     optimizer = optax.adam(lr)
     params = diff.net.params
     extra_vars = diff.net.extra_variables
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        # segmented callers (--checkpoint-every, resume) should pass the
+        # previous segment's opt_state back in — a fresh init here zeroes
+        # Adam's moments and changes the optimization trajectory
+        opt_state = optimizer.init(params)
     epoch_fn = diff.make_epoch_fn(optimizer, T, batch_size)
 
     loss_values: List[float] = []
@@ -57,7 +61,8 @@ def train_diffusion(diff, x_train, *, epochs: int, batch_size: int, lr: float,
 
 def train_diffusion_scan(diff, x_train, *, epochs: int, batch_size: int,
                          lr: float, T: int, key=None, mesh=None,
-                         warmup: bool = True):
+                         warmup: bool = True, opt_state=None,
+                         return_opt_state: bool = False):
     """Fully-compiled variant: ALL epochs inside one scan.
 
     ``warmup=True`` (benchmark mode) runs the program once to compile, then
@@ -74,7 +79,11 @@ def train_diffusion_scan(diff, x_train, *, epochs: int, batch_size: int,
     optimizer = optax.adam(lr)
     params = diff.net.params
     extra_vars = diff.net.extra_variables
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        # segmented callers (--checkpoint-every, resume) should pass the
+        # previous segment's opt_state back in — a fresh init here zeroes
+        # Adam's moments and changes the optimization trajectory
+        opt_state = optimizer.init(params)
     run_j = diff.make_multi_epoch_fn(optimizer, T, batch_size, epochs,
                                      mesh=mesh)
 
@@ -89,4 +98,6 @@ def train_diffusion_scan(diff, x_train, *, epochs: int, batch_size: int,
     epoch_losses = np.asarray(epoch_losses)
     wall = time.time() - t0
     diff.net.replace_variables(params=params, **extra_vars)
+    if return_opt_state:
+        return epoch_losses, wall, opt_state
     return epoch_losses, wall

@@ -238,3 +238,51 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(leaf),
         np.asarray(jax.tree_util.tree_leaves(stacked)[0]))
+
+
+def test_checkpoint_every_preserves_optimizer_state():
+    """Segmented training (--checkpoint-every) must thread Adam's moments
+    across segments — two 2-epoch segments with the same keys equal one
+    4-epoch run (regression: each segment used to re-init the optimizer)."""
+    import jax
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.diffusion import Diffusion
+    from qiddm_tpu.train import train_diffusion_scan
+
+    x = np.random.default_rng(0).uniform(size=(16, 64)).astype(np.float32)
+
+    def run(segments):
+        net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=0)
+        diff = Diffusion(net=net, prediction_goal="data", shape=(8, 8))
+        losses, opt_state = [], None
+        done = 0
+        for seg in segments:
+            out = train_diffusion_scan(
+                diff, x, epochs=seg, batch_size=8, lr=0.01, T=3,
+                key=jax.random.PRNGKey(100 + done), warmup=False,
+                opt_state=opt_state, return_opt_state=True)
+            seg_losses, _, opt_state = out
+            losses += [float(v) for v in seg_losses]
+            done += seg
+        return losses
+
+    # NOTE: keys differ per segment (key=PRNGKey(100+done) like the CLI),
+    # so exact equality needs the same segmentation of the key stream;
+    # compare two-segment vs two-segment-without-threading instead.
+    threaded = run([2, 2])
+
+    def run_unthreaded():
+        net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=0)
+        diff = Diffusion(net=net, prediction_goal="data", shape=(8, 8))
+        losses = []
+        for done in (0, 2):
+            seg_losses, _ = train_diffusion_scan(
+                diff, x, epochs=2, batch_size=8, lr=0.01, T=3,
+                key=jax.random.PRNGKey(100 + done), warmup=False)
+            losses += [float(v) for v in seg_losses]
+        return losses
+
+    unthreaded = run_unthreaded()
+    assert threaded[:2] == unthreaded[:2]          # same first segment
+    assert threaded[2:] != unthreaded[2:]          # moments actually carried
