@@ -383,30 +383,38 @@ def save_orbax(path, variables, *, loss_values=None, epochs: int = 0,
     Unlike the ``.pt`` pickles (kept for reference artifact parity), orbax
     stores each array as a tensorstore — sharded arrays save WITHOUT
     gathering to one host, and :func:`load_orbax` can restore directly
-    onto a device mesh. ``async_save=True`` returns immediately and
-    persists in a background thread (call ``wait_until_finished`` on the
-    returned checkpointer, or just let the next save/exit join it) —
+    onto a device mesh. Scalar metadata (loss curve, epochs) goes to a
+    ``qiddm_meta.json`` sidecar so the orbax tree holds only arrays
+    (restore templates never depend on the loss-curve length).
+    ``async_save=True`` returns immediately and persists in a background
+    thread (call ``wait_until_finished`` on the returned checkpointer) —
     training never blocks on IO.
 
     Returns the checkpointer (caller may keep it for async completion).
     """
+    import json
+
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).absolute()
-    state = {"variables": variables,
-             "meta": {"loss_values": list(loss_values or []),
-                      "epochs": int(epochs)}}
+    state = {"variables": variables}
     if opt_state is not None:
         state["opt_state"] = opt_state
+    meta = {"loss_values": [float(v) for v in (loss_values or [])],
+            "epochs": int(epochs)}
     if async_save:
         ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
-        return ckptr
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
-    # StandardCheckpointer commits in a background thread in recent
-    # orbax — join so the checkpoint is durable when we return
-    ckptr.wait_until_finished()
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        # StandardCheckpointer commits in a background thread in recent
+        # orbax — join so the checkpoint is durable when we return
+        ckptr.wait_until_finished()
+    # sidecar lives NEXT TO the checkpoint dir — writing inside it would
+    # pre-create the destination and break orbax's atomic tmp-dir rename
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pathlib.Path(str(path) + ".meta.json").write_text(json.dumps(meta))
     return ckptr
 
 
@@ -414,26 +422,49 @@ def load_orbax(path, *, like=None, sharding=None):
     """Restore an orbax checkpoint.
 
     ``like``: an example state pytree (e.g. ``{"variables":
-    net.variables}``-shaped) giving dtypes/shapes. ``sharding``: optional
-    pytree (or single ``jax.sharding.Sharding`` applied to every leaf) —
-    arrays are restored DIRECTLY onto the mesh with that placement, never
-    materializing unsharded copies on one device.
+    net.variables}``) giving dtypes/shapes for the ARRAY keys to restore;
+    keys on disk but absent from ``like`` (e.g. ``opt_state``) are left
+    out (partial restore). ``sharding``: either one
+    ``jax.sharding.Sharding`` applied to every leaf, or a pytree matching
+    ``like`` leaf-for-leaf — arrays are restored DIRECTLY onto those
+    placements, never materializing unsharded copies on one device.
 
-    Returns the restored state dict ({"variables", "meta"[, "opt_state"]}).
+    Returns {"variables", "meta"[, "opt_state"]}.
     """
+    import json
+
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).absolute()
-    ckptr = ocp.StandardCheckpointer()
+    meta_file = pathlib.Path(str(path) + ".meta.json")
+    meta = json.loads(meta_file.read_text()) if meta_file.exists() else None
     if like is None:
-        return ckptr.restore(path)
-    if "meta" not in like:
-        # save_orbax always writes the meta leaf; fill the template so
-        # callers only need to describe their arrays
-        like = dict(like, meta={"loss_values": [], "epochs": 0})
-    target = jax.tree_util.tree_map(
-        lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
-                   if sharding is not None and hasattr(x, "shape")
-                   else x),
-        like)
-    return ckptr.restore(path, target)
+        out = ocp.StandardCheckpointer().restore(path)
+        if meta is not None:
+            out["meta"] = meta
+        return out
+
+    like = {k: v for k, v in like.items() if k != "meta"}
+    if sharding is None or isinstance(sharding, jax.sharding.Sharding):
+        target = jax.tree_util.tree_map(
+            lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=sharding)
+                       if sharding is not None and hasattr(x, "shape")
+                       else x),
+            like)
+    else:
+        # per-leaf sharding pytree (matching like's structure)
+        target = jax.tree_util.tree_map(
+            lambda x, sh: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=sh),
+            like, sharding)
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    out = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+        item=target, restore_args=restore_args, partial_restore=True))
+    out = dict(out)
+    if meta is not None:
+        out["meta"] = meta
+    elif "meta" not in out:
+        out["meta"] = {"loss_values": [], "epochs": 0}
+    return out

@@ -398,38 +398,49 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15,
             raise ValueError(
                 f"label {l} has no images in dataset {args.data!r} "
                 f"(available labels: {sorted(set(int(v) for v in y_all))})")
-    if augment_to:
-        # rebuttal rotation augmentation per label (reference
-        # src/bloodmnist.py:337-342) BEFORE the common-size truncation
-        aug = []
-        for l, v in zip(labels, per_label):
-            xa, _ = augment_rotation(
-                v, np.full(len(v), l), height, width, augment_to, args.seed)
-            aug.append(xa)
-        per_label = aug
     n_min = min(len(v) for v in per_label)
     n_min = max(int(n_min * args.reduced_size), 2)
     cutoff = max(int(n_min * 0.8), 1)
-    x_train = np.stack([v[:cutoff] for v in (p[:n_min] for p in per_label)])
+    trains = [p[:n_min][:cutoff] for p in per_label]
     x_test = np.stack([p[:n_min][cutoff:] for p in per_label])
+    if augment_to:
+        # rebuttal rotation augmentation on the TRAIN split only, AFTER
+        # the 80/20 split (serial-path parity: rotated copies must never
+        # leak into x_test — reference src/bloodmnist.py:337-342 augments
+        # x_train after splitting)
+        target = max(augment_to, cutoff)
+        trains = [augment_rotation(t, np.full(len(t), l), height, width,
+                                   target, args.seed)[0]
+                  for l, t in zip(labels, trains)]
+        cutoff = target
+    x_train = np.stack(trains)
     print(f"vmapped labels {labels}: per-label train {x_train.shape}")
     args.batch_size = min(args.batch_size, cutoff)
     first_x = make_first_x(args)
 
     all_scores: Dict[str, Dict[str, list]] = {}
-    for model_args in args.model:
+    names = [m[0] for m in args.model]
+    for mi, model_args in enumerate(args.model):
         model_name = model_args[0]
+        # positional keys, like the serial path's model_key: --model may
+        # list the same name twice with different parameters
+        score_key = (model_name if names.count(model_name) == 1
+                     else f"{model_name}#{mi}")
         proto = build_model(model_args, seed=args.seed)
         module = proto.module
         args.lr = model_lr(args, model_name)
         diff = Diffusion(net=proto, noise_f=schedule,
                          prediction_goal=args.target, shape=(height, width))
 
-        dummy = jnp.asarray(x_train[0][: max(2, min(32, cutoff))]).reshape(
-            -1, 1, height, width)
+        nb = max(2, min(32, cutoff))
+        # per-label init batches: data-dependent initialization (the
+        # lazily-fitted PCA family) must see each label's OWN images,
+        # exactly like the serial path
+        dummies = jnp.asarray(x_train[:, :nb]).reshape(
+            len(labels), -1, 1, height, width)
         keys = jnp.stack([jax.random.PRNGKey(args.seed + l) for l in labels])
         stacked = jax.jit(jax.vmap(
-            lambda k: module.init(k, dummy, train=False)))(keys)
+            lambda k, d: module.init(k, d, train=False)))(keys, dummies)
         params = stacked["params"]
         extra = {k: v for k, v in stacked.items() if k != "params"}
 
@@ -492,7 +503,7 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15,
             scores["cos"].append(float(c[-1]))
             print(f"label {label}: loss {losses[i][0]:.4f}->"
                   f"{losses[i][-1]:.4f} ssim={s[-1]:.4f}")
-        all_scores[model_name] = scores
+        all_scores[score_key] = scores
     return all_scores
 
 

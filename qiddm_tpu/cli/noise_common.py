@@ -49,6 +49,10 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
 
     x_all, y_all, height, width = common.load_dataset(args)
     x_lab = x_all[y_all == label]
+    if len(x_lab) == 0:
+        raise ValueError(
+            f"label {label} has no images in dataset {args.data!r} "
+            f"(available labels: {sorted(set(int(v) for v in y_all))})")
     x_lab = x_lab[: int(len(x_lab) * args.reduced_size)]
     cutoff = int(len(x_lab) * 0.8)
     x_train, x_test = x_lab[:cutoff], x_lab[cutoff:]
@@ -130,6 +134,6 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
             metrics.show_metrics(curve_dict, metric_name.upper(), args,
                                  model_name=f"noise{add_noise}",
                                  model_params=[metric_name],
-                                 xlabel=xlabel)
+                                 xlabel=xlabel, x_values=list(intensities))
     args.save_path, args.load_path = original_save, original_load
     return results

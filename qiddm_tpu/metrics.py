@@ -271,8 +271,13 @@ def get_fid(generated_images_dict, real_images_dict, args=None,
 
 def show_metrics(values_dict, name, args, model_name=None, model_params=None,
                  colors=None, legend_labels=None, xlabel=None, ylabel=None,
-                 is_loss=False, marker_size=7, line_width=3):
-    """Line plot per model (reference src/metrics.py:104-153)."""
+                 is_loss=False, marker_size=7, line_width=3, x_values=None):
+    """Line plot per model (reference src/metrics.py:104-153).
+
+    ``x_values``: explicit x coordinates (e.g. the physical noise
+    intensities of a sweep — plotting by list index would distort
+    non-uniform grids); default is the index.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -290,7 +295,8 @@ def show_metrics(values_dict, name, args, model_name=None, model_params=None,
         if not is_loss:
             kw.update(marker=markers[idx % len(markers)],
                       markersize=marker_size)
-        plt.plot(range(len(values)), values, **kw)
+        xs = x_values if x_values is not None else range(len(values))
+        plt.plot(xs, values, **kw)
     plt.title(name, fontsize=24)
     plt.xlabel(xlabel, fontsize=22)
     plt.ylabel(ylabel or name, fontsize=22)

@@ -261,16 +261,21 @@ def _rung_plan(epochs: int, rungs):
     if isinstance(rungs[0], (tuple, list)):
         plan, prev = [], 0
         for ep, keep in rungs:
-            ep = min(int(ep), epochs)
-            if ep <= prev:
+            # rungs at/after the epoch budget are dropped rather than
+            # clamped: a cull at the very end would remove fully-trained
+            # trials (no post-rung segment exists to justify the stop)
+            if int(ep) >= epochs or int(ep) <= prev:
                 continue
-            plan.append((ep - prev, float(keep)))
-            prev = ep
-        if prev < epochs:
-            plan.append((epochs - prev, None))
-        return plan or [(epochs, None)]
+            plan.append((int(ep) - prev, float(keep)))
+            prev = int(ep)
+        plan.append((epochs - prev, None))
+        return plan
     n = len(rungs) + 1
     seg = epochs // n
+    if seg == 0:
+        # fewer epochs than rung points: halving on untrained models would
+        # cull by noise (and dropped trials would report loss 0.0)
+        return [(epochs, None)]
     plan = [(seg, rungs[i]) for i in range(len(rungs))]
     plan.append((epochs - seg * len(rungs), None))
     return plan

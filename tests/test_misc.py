@@ -239,6 +239,29 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(leaf),
         np.asarray(jax.tree_util.tree_leaves(stacked)[0]))
 
+    # like-restore of a checkpoint with a recorded loss curve AND an
+    # opt_state on disk that `like` doesn't mention (partial restore)
+    import optax
+
+    opt_state = optax.adam(0.01).init(net.variables["params"])
+    save_orbax(tmp_path / "ck4", net.variables, loss_values=[0.5, 0.4, 0.3],
+               epochs=3, opt_state=opt_state)
+    got4 = load_orbax(tmp_path / "ck4", like={"variables": net.variables})
+    assert got4["meta"]["loss_values"] == [0.5, 0.4, 0.3]
+    assert "opt_state" not in got4  # partial: only what `like` asked for
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(got4["variables"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(net.variables)[0]))
+
+    # per-leaf sharding pytree: params sharded over trial, rest replicated
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    shard_tree = jax.tree_util.tree_map(lambda _: sharding, stacked)
+    got5 = load_orbax(tmp_path / "ck3", like={"variables": stacked},
+                      sharding={"variables": shard_tree})
+    leaf5 = jax.tree_util.tree_leaves(got5["variables"])[0]
+    assert "trial" in str(leaf5.sharding.spec)
+    del repl
+
 
 def test_checkpoint_every_preserves_optimizer_state():
     """Segmented training (--checkpoint-every) must thread Adam's moments
