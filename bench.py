@@ -62,7 +62,8 @@ def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
 
     n_images = n_train * epochs
     img_per_s = n_images / wall
-    steps = n_images // batch_size
+    # dropless padded batching runs ceil(n_train/bs) steps per epoch
+    steps = epochs * (-(-len(x) // batch_size))
     detail = (f"{n_images} images ({n_train} x {epochs} epochs), "
               f"wall={wall:.4f}s, setup={setup_s:.1f}s (compile+warmup), "
               f"denoiser-steps/s={n_images * tau / wall:.0f}, "

@@ -66,7 +66,20 @@ def _load():
             if err is not None:
                 _BUILD_ERROR = err
                 return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            # a stale/foreign-platform .so (e.g. checked out on another
+            # arch): rebuild once; available() must return False, not raise
+            err = _build()
+            if err is not None:
+                _BUILD_ERROR = err
+                return None
+            try:
+                lib = ctypes.CDLL(str(_LIB_PATH))
+            except OSError as e:
+                _BUILD_ERROR = f"load failed after rebuild: {e}"
+                return None
         pd = ctypes.POINTER(ctypes.c_double)
         lib.qsim_statevector_run.restype = ctypes.c_int
         lib.qsim_statevector_run.argtypes = [
@@ -216,10 +229,11 @@ def build_sel_ops(weights: np.ndarray, imprimitive: str = "cnot",
 
     weights: (layers, wires, 3); ranges default to the cycling pattern.
     """
+    from ..sim.sel import sel_ranges
+
     layers, wires, _ = weights.shape
     if ranges is None:
-        ranges = ([0] * layers if wires == 1 else
-                  [(l % (wires - 1)) + 1 for l in range(layers)])
+        ranges = sel_ranges(layers, wires)
     imp = CNOT if imprimitive == "cnot" else CZ
     ops: List[tuple] = []
     for l in range(layers):

@@ -114,8 +114,13 @@ def build_generated_cache(name, zip_name, prefix, zips_dir, out_dir):
             return
         n_steps = min(len(v) for v in runs.values())
         imgs = sorted(runs)
+        # iterate the step keys actually present (the shipped layout is
+        # 1-based contiguous, but a 0-based or gapped numbering must not
+        # KeyError the whole cache build)
+        step_keys = {i: sorted(runs[i])[:n_steps] for i in imgs}
         steps = np.stack([
-            np.stack([_png_to_gray(zf.read(runs[i][s + 1])) for i in imgs])
+            np.stack([_png_to_gray(zf.read(runs[i][step_keys[i][s]]))
+                      for i in imgs])
             for s in range(n_steps)])
     out = out_dir / f"ref_generated_{name}.npz"
     np.savez_compressed(out, steps=steps.astype(np.float32) / 255.0,

@@ -10,7 +10,7 @@ entirely in VMEM. Whatever GFLOP/s it achieves is the practical VPU
 ceiling for that shape; DESIGN.md cites the gate chain's achieved fraction
 of it.
 
-Usage: python tools/vpu_ceiling.py [--d 1024] [--batch 88] [--iters 4096]
+Usage: python tools/vpu_ceiling.py [--d 1024] [--batch 80] [--iters 4096]
 """
 
 from __future__ import annotations
@@ -83,8 +83,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=4096)
     args = ap.parse_args(argv)
     # the gate-kernel geometry (d on sublanes, batch on lanes) and a
-    # lane-saturating 128 batch; serial chain (floor) and 4 independent
-    # chains (throughput ceiling) each
+    # lane-saturating 128 batch; serial chain (floor) plus 4 and 8
+    # independent chains (the throughput envelope) each
     for b in sorted({args.batch, 128}):
         for chains in (1, 4, 8):
             rec = measure(args.d, b, args.iters, chains)
