@@ -38,14 +38,33 @@ def _sync(x):
     return np.asarray(x)  # axon: host fetch is the only reliable sync
 
 
+def _load_mnist28_with_provenance():
+    """Load the bench dataset and REPORT whether it is real data or the
+    offline fallback — throughput is shape-identical either way, but the
+    bench output must say which it measured (VERDICT r2 weak #7)."""
+    import warnings
+
+    from qiddm_tpu import data
+
+    with warnings.catch_warnings(record=True) as wrec:
+        warnings.simplefilter("always")
+        x, y, h, w = data.mnist_28x28(n_classes=10, ds_size=500)
+    fell_back = any("falling back" in str(r.message)
+                    or "SYNTHETIC" in str(r.message) for r in wrec)
+    provenance = ("offline-fallback(sklearn-digits-resampled-28x28); "
+                  "same shapes/flops as real MNIST" if fell_back
+                  else "real(mnist-28x28)")
+    return (x, y, h, w), provenance
+
+
 def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
                   L: int = 9, N: int = 2):
     import jax
 
-    from qiddm_tpu import data, nn
+    from qiddm_tpu import nn
     from qiddm_tpu.diffusion import Diffusion
     from qiddm_tpu.train import train_diffusion_scan
-    x, y, h, w = data.mnist_28x28(n_classes=10, ds_size=500)
+    (x, y, h, w), provenance = _load_mnist28_with_provenance()
     x = x[y == 4]
     n_train = int(len(x) * 0.8)
     x = x[:n_train]
@@ -79,6 +98,7 @@ def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
         "value": round(img_per_s, 1),
         "unit": "images/s",
         "vs_baseline": round(img_per_s / REFERENCE_IMAGES_PER_SEC, 1),
+        "data": provenance,
     }, detail, util
 
 

@@ -46,8 +46,20 @@ def load_checkpoint(path) -> Dict[str, Any]:
         return pickle.load(f)
 
 
-def save_diffusion(diff, save_path, label, loss_values, epochs):
-    """Driver-level save (reference src/mnist_exm.py:189-201)."""
+def save_diffusion(diff, save_path, label, loss_values, epochs,
+                   backend: str = "pt", async_save: bool = False):
+    """Driver-level save (reference src/mnist_exm.py:189-201).
+
+    backend "pt": the reference's pickle layout (artifact parity).
+    backend "orbax": the TPU-native production path (SURVEY §5.4) — each
+    array a tensorstore, sharded arrays saved without host gathering;
+    ``async_save=True`` returns immediately (training never blocks on IO;
+    caller keeps the returned checkpointer and joins before exit).
+    """
+    if backend == "orbax":
+        sp = pathlib.Path(save_path) / f"{diff.save_name()}_{label}.orbax"
+        return save_orbax(sp, diff.net.variables, loss_values=loss_values,
+                          epochs=epochs, async_save=async_save)
     sp = pathlib.Path(save_path) / f"{diff.save_name()}_{label}.pt"
     return save_checkpoint(sp, diff.net.variables, loss_values, epochs)
 
@@ -353,13 +365,34 @@ def load_reference_checkpoint(net, path, strict: bool = True):
     return ckpt.get("loss_values", []), ckpt.get("epochs", 0)
 
 
-def load_diffusion(diff, load_path, label) -> Tuple[List[float], int]:
+def load_diffusion(diff, load_path, label,
+                   backend: str = "auto",
+                   sharding=None) -> Tuple[List[float], int]:
     """Driver-level load; returns (loss_values, start_epoch) and degrades to
-    a fresh model when missing (reference src/mnist_exm.py:294-323)."""
+    a fresh model when missing (reference src/mnist_exm.py:294-323).
+
+    backend "auto" prefers an ``.orbax`` checkpoint dir, then the ``.pt``
+    pickle. ``sharding`` (optional, orbax only): restore arrays directly
+    onto a mesh placement (one Sharding for all leaves or a matching
+    pytree) without materializing unsharded copies.
+    """
     if str(load_path).endswith(".pt"):
         lp = pathlib.Path(load_path)
     else:
-        lp = pathlib.Path(load_path) / f"{diff.save_name()}_{label}.pt"
+        base = pathlib.Path(load_path)
+        if backend in ("auto", "orbax"):
+            op = base / f"{diff.save_name()}_{label}.orbax"
+            if op.exists():
+                out = load_orbax(op, like={"variables": diff.net.variables},
+                                 sharding=sharding)
+                diff.net.variables = out["variables"]
+                meta = out.get("meta") or {}
+                print(f"{op}\nModel loaded successfully (orbax).\n")
+                return meta.get("loss_values", []), meta.get("epochs", 0)
+            if backend == "orbax":
+                print(f"{op}\nFailed to load model: File not found.\n")
+                return [], 0
+        lp = base / f"{diff.save_name()}_{label}.pt"
     print(lp)
     try:
         ckpt = load_checkpoint(lp)

@@ -103,6 +103,11 @@ def build_parser(description: str, *, default_models, default_data: str,
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="Also checkpoint every N epochs (preemption safety; "
                         "0 = only at the end like the reference).")
+    p.add_argument("--ckpt-backend", type=str, default="pt",
+                   choices=["pt", "orbax"],
+                   help="Checkpoint format: 'pt' (reference-parity pickles) "
+                        "or 'orbax' (TPU-native tensorstores; periodic "
+                        "saves run async so training never blocks on IO).")
 
     orig_parse = p.parse_args
 
@@ -194,7 +199,13 @@ def with_noise(net, add_noise: int, noise_intensity: Optional[float] = None):
     """Return a shim sharing ``net``'s trained variables but with hardware
     noise injected into the circuit — the functional replacement for the
     reference's test-time device swap to ``default.mixed``
-    (src/mnist_noise.py:210-230)."""
+    (src/mnist_noise.py:210-230).
+
+    An explicit ``noise_intensity`` lands in the clone's ``noise_cfg``
+    variables collection (nn/core.py::_resolve_noise), so sweeping the
+    intensity is a VARIABLE swap — callers may vmap/trace over
+    ``variables["noise_cfg"]["intensity"]`` with one compiled program per
+    (model, channel kind)."""
     fields = {f.name for f in dataclasses.fields(net.module)}
     if "add_noise" not in fields:
         return net
@@ -205,6 +216,16 @@ def with_noise(net, add_noise: int, noise_intensity: Optional[float] = None):
     clone = object.__new__(type(net))
     clone.__dict__.update(net.__dict__)
     clone.module = new_module
+    if ("noise_intensity" in fields and noise_intensity is not None
+            and add_noise != 0):
+        clone.variables = {
+            **{k: v for k, v in net.variables.items() if k != "noise_cfg"},
+            "noise_cfg": {"intensity": jnp.asarray(float(noise_intensity),
+                                                   jnp.float32)},
+        }
+    else:
+        clone.variables = {k: v for k, v in net.variables.items()
+                           if k != "noise_cfg"}
     if hasattr(clone, "_apply_cache"):
         del clone.__dict__["_apply_cache"]
     return clone
@@ -226,6 +247,8 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
     print("Training model")
     remaining = args.epochs - start_epoch
     ckpt_every = getattr(args, "checkpoint_every", 0) or 0
+    backend = getattr(args, "ckpt_backend", "pt")
+    pending_ckptr = None  # last async orbax save, joined before returning
     trace_ctx = (device_trace(args.profile)
                  if getattr(args, "profile", None) else
                  contextlib.nullcontext())
@@ -245,9 +268,23 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
             print(f"trained {seg} epochs in {wall:.3f}s incl. compile "
                   f"({len(x_train) * seg / max(wall, 1e-9):.0f} images/s)")
             if ckpt_every and remaining > 0:
-                save_diffusion(diff, args.save_path, args.label, loss_values,
-                               done)
-    save_diffusion(diff, args.save_path, args.label, loss_values, args.epochs)
+                # mid-training saves run async under orbax (the next
+                # segment starts while arrays persist in the background);
+                # join the previous in-flight save first — they target the
+                # same checkpoint path
+                if pending_ckptr is not None and hasattr(
+                        pending_ckptr, "wait_until_finished"):
+                    pending_ckptr.wait_until_finished()
+                pending_ckptr = save_diffusion(
+                    diff, args.save_path, args.label, loss_values, done,
+                    backend=backend, async_save=(backend == "orbax"))
+    if pending_ckptr is not None and hasattr(pending_ckptr,
+                                             "wait_until_finished"):
+        pending_ckptr.wait_until_finished()
+    final = save_diffusion(diff, args.save_path, args.label, loss_values,
+                           args.epochs, backend=backend)
+    if hasattr(final, "wait_until_finished"):
+        final.wait_until_finished()
     return loss_values
 
 
@@ -478,10 +515,17 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15,
                      **jax.tree_util.tree_map(lambda a: a[i], extra)}
             proto.variables = var_i
             sp = pathlib.Path(str(args.save_path) + str(label) + "/noise_0")
-            from ..ckpt import save_checkpoint
+            if getattr(args, "ckpt_backend", "pt") == "orbax":
+                from ..ckpt import save_orbax
 
-            save_checkpoint(sp / f"{diff.save_name()}_{label}.pt", var_i,
-                            [float(v) for v in losses[i]], args.epochs)
+                save_orbax(sp / f"{diff.save_name()}_{label}.orbax", var_i,
+                           loss_values=[float(v) for v in losses[i]],
+                           epochs=args.epochs)
+            else:
+                from ..ckpt import save_checkpoint
+
+                save_checkpoint(sp / f"{diff.save_name()}_{label}.pt", var_i,
+                                [float(v) for v in losses[i]], args.epochs)
             real_src = x_train if protocol.real_from_train else x_test
             real = real_src[i].reshape(
                 -1, 1, height, width).astype(np.float32)
@@ -586,7 +630,9 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
                 print("parameters:%d\n" % net.num_params())
 
                 loss_values, start_epoch = load_diffusion(
-                    diff, args.load_path, label)
+                    diff, args.load_path, label,
+                    backend=("auto" if getattr(args, "ckpt_backend", "pt")
+                             == "pt" else args.ckpt_backend))
                 print(f"epoch start from {start_epoch}, "
                       f"left {args.epochs - start_epoch}")
                 loss_values = train(diff, args, x_train, start_epoch,

@@ -13,12 +13,30 @@ engages automatically for non-unitary channels.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+import numpy as np
 
 from .. import metrics
 from ..ckpt import load_diffusion
 from ..diffusion import Diffusion
 from ..noise import add_normal_noise_multiple
 from . import common
+
+def _sample_intensities(diff, first_x, tau_test: int, intensities):
+    """Sampler grids for EVERY intensity in one compiled program: the
+    channel strength is a traced variable, so the sweep vmaps over it
+    instead of recompiling per value. Returns (n_intensities, grid...)."""
+    base = {k: v for k, v in diff.net.variables.items() if k != "noise_cfg"}
+    first_x = jnp.asarray(first_x)
+
+    def one(intensity):
+        v = {**base, "noise_cfg": {"intensity": intensity}}
+        return diff.sample_fn(v, first_x, n_iters=tau_test, only_last=False)
+
+    ints = jnp.asarray([float(v) for v in intensities], jnp.float32)
+    return jax.jit(jax.vmap(one))(ints)
+
 
 NOISE_TYPE_LABELS = {
     1: "Phase Damping intensity",
@@ -70,7 +88,10 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
         args.lr = common.model_lr(args, model_name)
         diff = Diffusion(net=net, noise_f=add_normal_noise_multiple,
                          prediction_goal=args.target, shape=(height, width))
-        loss_values, start_epoch = load_diffusion(diff, args.load_path, label)
+        loss_values, start_epoch = load_diffusion(
+            diff, args.load_path, label,
+            backend=("auto" if getattr(args, "ckpt_backend", "pt") == "pt"
+                     else args.ckpt_backend))
         loss_values = common.train(diff, args, x_train, start_epoch,
                                    loss_values)
         trained[mi] = (model_name, diff, loss_values)
@@ -85,37 +106,54 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
         for rk in results:
             results[rk][add_noise] = {
                 "ssim": [], "psnr": [], "cos": [], "fid": []}
-        for intensity in intensities:
-            print(f"\nTest for add_noise: {add_noise}, intensity {intensity}")
-            args.save_path = noise_save_path + str(add_noise)
-            # sampler caches live under noise_<type> (the reference switches
-            # load_path around test(), src/mnist_noise.py:502-504)
-            args.load_path = noise_load_path + str(add_noise)
-            generated_dict, real_dict = {}, {}
-            for mi, model_args in enumerate(args.model):
-                model_name, diff_clean, _ = trained[mi]
-                noisy_net = common.with_noise(diff_clean.net, add_noise,
-                                              intensity)
-                diff = Diffusion(net=noisy_net,
-                                 noise_f=add_normal_noise_multiple,
-                                 prediction_goal=args.target,
-                                 shape=(height, width))
+        args.save_path = noise_save_path + str(add_noise)
+        # sampler caches live under noise_<type> (the reference switches
+        # load_path around test(), src/mnist_noise.py:502-504)
+        args.load_path = noise_load_path + str(add_noise)
+        for mi, model_args in enumerate(args.model):
+            model_name, diff_clean, _ = trained[mi]
+            noisy_net = common.with_noise(diff_clean.net, add_noise,
+                                          float(intensities[0]))
+            diff = Diffusion(net=noisy_net,
+                             noise_f=add_normal_noise_multiple,
+                             prediction_goal=args.target,
+                             shape=(height, width))
+            # resolve sampler-output caches per intensity, then run every
+            # missing intensity through ONE vmapped program (the intensity
+            # is a traced variable, nn/core.py::_resolve_noise — the
+            # reference recompiles its QNode per intensity instead,
+            # src/mnist_noise.py:214-230)
+            grids, missing = {}, []
+            for intensity in intensities:
                 cached = common.load_outp(diff, args.load_path, intensity)
                 if cached is not None:
-                    generated, real = common.test(
-                        diff, args, x_train, x_test, first_x,
-                        tau_test=tau_test, save_images=False, grid=cached,
-                        protocol=common.NOISE_PROTOCOL)
+                    grids[intensity] = cached
                 else:
-                    generated, real, grid = common.test(
-                        diff, args, x_train, x_test, first_x,
-                        tau_test=tau_test, save_images=False,
-                        return_grid=True, protocol=common.NOISE_PROTOCOL)
-                    common.save_outp(diff, args, grid, intensity)
-                key = f"{diff.save_name()}_{add_noise}_{intensity}"
-                generated_dict[key] = generated
-                real_dict[key] = real
+                    missing.append(intensity)
+            if missing:
+                if "noise_cfg" in noisy_net.variables:
+                    vg = np.asarray(_sample_intensities(
+                        diff, first_x, tau_test, missing))
+                    for i, intensity in enumerate(missing):
+                        grids[intensity] = vg[i]
+                else:
+                    # module takes no intensity (e.g. classical nets): the
+                    # sampler output cannot depend on it — sample once
+                    one = diff.eval().sample(first_x=first_x,
+                                             n_iters=tau_test,
+                                             only_last=False)
+                    for intensity in missing:
+                        grids[intensity] = np.asarray(one)
+                for intensity in missing:
+                    common.save_outp(diff, args, grids[intensity], intensity)
 
+            for intensity in intensities:
+                print(f"\nTest for add_noise: {add_noise}, "
+                      f"intensity {intensity}")
+                generated, real = common.test(
+                    diff, args, x_train, x_test, first_x,
+                    tau_test=tau_test, save_images=False,
+                    grid=grids[intensity], protocol=common.NOISE_PROTOCOL)
                 r = results[rkeys[mi]][add_noise]
                 r["ssim"].append(float(metrics.ssim_iterations(
                     generated, real, gen_img_count, real_img_count)[-1]))

@@ -217,8 +217,118 @@ def emnist_28x28(n_classes=10, ds_size=100):
         labels = _read_idx(pair[1]).astype(np.int64) - 1
         imgs = np.rot90(imgs, k=-1, axes=(1, 2))[:, :, ::-1]
     else:
-        imgs, labels = _digits_fallback(28, "emnist_letters")
+        cache = _load_npz_cache("emnist_letters_28")  # user-provided real data
+        if cache is not None:
+            imgs, labels = cache
+            imgs = imgs.astype(np.float64)
+            if imgs.max() > 1.5:
+                imgs = imgs / 255.0
+        else:
+            imgs, labels = _letters_fallback(28)
     return _finish(imgs, labels, n_classes, ds_size, 28, 28)
+
+
+def _letters_fallback(side: int, per_class: int = 200):
+    """SYNTHETIC letters stand-in for EMNIST (offline environment).
+
+    Font-rendered a-z glyphs (DejaVu family, both cases) with random
+    affine jitter, stroke/blur variation, and ink-centroid centering —
+    white-on-black ``side x side`` images mimicking EMNIST-letters
+    conventions. Letter-SHAPED data (unlike the digits fallback), so
+    letter-class experiments remain meaningful offline, but NOT real
+    handwriting: results on it are clearly synthetic and must be labeled
+    as such. Drop real idx files or an ``emnist_letters_28.npz`` cache in
+    ``$QIDDM_DATA_DIR`` for real data.
+
+    Deterministic; cached to ``emnist_letters_synth_<side>.npz`` after the
+    first render (a few seconds for 26x200 glyphs).
+    """
+    warnings.warn(
+        "EMNIST letters not found on disk and this environment has no "
+        "network access; using a SYNTHETIC font-rendered letters stand-in "
+        f"(26 classes x {per_class}). Results on it are synthetic-data "
+        f"results. Drop real EMNIST idx files or emnist_letters_28.npz in "
+        f"{DATA_DIR} for real data.")
+    cache_path = DATA_DIR / f"emnist_letters_synth_{side}.npz"
+    if cache_path.exists():
+        z = np.load(cache_path)
+        return np.asarray(z["x"], np.float64), np.asarray(z["y"], np.int64)
+
+    from PIL import Image, ImageDraw, ImageFilter, ImageFont
+
+    font_files = [
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+    ]
+    font_files = [f for f in font_files if pathlib.Path(f).exists()]
+    if not font_files:  # no fonts installed: keep the digits shape fallback
+        return _digits_fallback(side, "emnist_letters")
+    rng = np.random.default_rng(0xE71157)
+    big = side * 4  # supersampled canvas for smooth strokes
+    fonts = {}
+    imgs, labels = [], []
+    for cls in range(26):
+        for _ in range(per_class):
+            ch = chr((ord("A") if rng.random() < 0.5 else ord("a")) + cls)
+            fkey = (font_files[int(rng.integers(len(font_files)))],
+                    int(rng.integers(int(big * 0.55), int(big * 0.8))))
+            if fkey not in fonts:
+                fonts[fkey] = ImageFont.truetype(*fkey)
+            img = Image.new("L", (big, big), 0)
+            d = ImageDraw.Draw(img)
+            d.text((big // 2, big // 2), ch, fill=255, font=fonts[fkey],
+                   anchor="mm")
+            # random affine: rotation, shear, translation (handwriting-ish)
+            ang = float(rng.uniform(-20, 20))
+            shear = float(rng.uniform(-0.25, 0.25))
+            tx = float(rng.uniform(-0.06, 0.06)) * big
+            ty = float(rng.uniform(-0.06, 0.06)) * big
+            c, cy = big / 2, big / 2
+            img = img.transform(
+                (big, big), Image.AFFINE,
+                (np.cos(np.radians(ang)), shear - np.sin(np.radians(ang)),
+                 c - c * np.cos(np.radians(ang))
+                 - cy * (shear - np.sin(np.radians(ang))) + tx,
+                 np.sin(np.radians(ang)), np.cos(np.radians(ang)),
+                 cy - c * np.sin(np.radians(ang))
+                 - cy * np.cos(np.radians(ang)) + ty),
+                resample=Image.BILINEAR)
+            img = img.filter(ImageFilter.GaussianBlur(
+                float(rng.uniform(0.5, 2.0))))
+            a = np.asarray(img, np.float64)
+            if a.max() <= 0:  # glyph sheared out of frame: rare, skip center
+                a = np.asarray(img, np.float64)
+            else:
+                # center the ink centroid (EMNIST centers by mass)
+                ys, xs = np.mgrid[0:big, 0:big]
+                m = a.sum()
+                dy = int(round(big / 2 - (a * ys).sum() / m))
+                dx = int(round(big / 2 - (a * xs).sum() / m))
+                a = np.roll(np.roll(a, dy, axis=0), dx, axis=1)
+            small = np.asarray(
+                Image.fromarray(a.astype(np.uint8)).resize(
+                    (side, side), Image.LANCZOS), np.float64)
+            peak = small.max()
+            if peak > 0:
+                small = small / peak
+            imgs.append(np.clip(small, 0.0, 1.0))
+            labels.append(cls)
+    imgs = np.stack(imgs)
+    labels = np.asarray(labels, np.int64)
+    # interleave classes so head-truncation (ds_size) keeps every class
+    order = rng.permutation(len(imgs))
+    imgs, labels = imgs[order], labels[order]
+    try:
+        DATA_DIR.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(cache_path,
+                            x=(imgs * 255).astype(np.uint8), y=labels)
+    except OSError:
+        pass
+    return imgs, labels
 
 
 def cifar10_32x32(n_classes=10, ds_size=100):

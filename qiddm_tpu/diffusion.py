@@ -250,18 +250,76 @@ class Diffusion:
         return jnp.concatenate([first_x[None], xs], axis=0)
 
     # --- torch-like dispatch ------------------------------------------------
+    def attach_optimizer(self, optimizer):
+        """Make the torch-style train call actually TRAIN.
+
+        The reference's ``forward`` runs ``.backward()`` internally
+        (src/models.py:67) and the driver steps the optimizer around it; a
+        verbatim port of that loop against a pure-JAX loss would silently
+        never learn. With an optax optimizer attached, every train-mode
+        ``diff(x=..., T=...)`` call performs one full jitted
+        loss+grad+update step on ``net.variables`` (the external
+        ``opt.zero_grad()``/``opt.step()`` lines become no-ops to delete).
+        Prefer :meth:`make_train_step` / ``train_diffusion`` for real
+        training loops — this shim exists for porting parity (PORTING.md).
+        """
+        self._optimizer = optimizer
+        self._opt_state = None
+        self._step_cache = {}
+        self._call_count = 0
+        return self
+
     def __call__(self, x=None, key=None, **kwargs):
         if self.training:
-            key = key if key is not None else jax.random.PRNGKey(0)
             T = int(kwargs.get("T", 10))
             x_flat = jnp.asarray(x).reshape(len(x), -1)
-            cache = getattr(self, "_loss_cache", None)
-            if cache is None:
-                cache = self._loss_cache = {}
-            if T not in cache:
-                cache[T] = jax.jit(functools.partial(self.loss_fn, T=T))
-            loss, (per_elem, recon, _) = cache[T](
-                self.net.params, self.net.extra_variables, key, x_flat)
+            optimizer = getattr(self, "_optimizer", None)
+            if optimizer is None:
+                if not kwargs.get("loss_only", False):
+                    raise RuntimeError(
+                        "Diffusion called in train mode without an attached "
+                        "optimizer: unlike the reference (whose forward "
+                        "calls .backward() internally, src/models.py:67), "
+                        "this returns a pure loss and would silently train "
+                        "NOTHING. Either diff.attach_optimizer(optax.adam"
+                        "(lr)) to make this call step the parameters, pass "
+                        "loss_only=True for pure loss evaluation, or use "
+                        "train_diffusion()/make_train_step() for real "
+                        "training loops (see PORTING.md).")
+                key = key if key is not None else jax.random.PRNGKey(0)
+                cache = getattr(self, "_loss_cache", None)
+                if cache is None:
+                    cache = self._loss_cache = {}
+                if T not in cache:
+                    cache[T] = jax.jit(functools.partial(self.loss_fn, T=T))
+                loss, (per_elem, recon, _) = cache[T](
+                    self.net.params, self.net.extra_variables, key, x_flat)
+                if kwargs.get("verbose", False):
+                    return jnp.abs(per_elem), jnp.abs(recon)
+                return (jnp.abs(loss),)
+            # optimizer attached: one full jitted train step per call
+            # (fresh noise key per call — the reference relies on torch's
+            # advancing global RNG)
+            if key is None:
+                key = jax.random.PRNGKey(self._call_count)
+            self._call_count += 1
+            if T not in self._step_cache:
+                def step(params, opt_state, extra_vars, key, x_flat):
+                    (loss, (per_elem, recon, new_vars)), grads = (
+                        jax.value_and_grad(self.loss_fn, has_aux=True)(
+                            params, extra_vars, key, x_flat, T))
+                    updates, opt_state = optimizer.update(grads, opt_state,
+                                                          params)
+                    params = optax.apply_updates(params, updates)
+                    return params, opt_state, new_vars, loss, per_elem, recon
+
+                self._step_cache[T] = jax.jit(step)
+            if self._opt_state is None:
+                self._opt_state = jax.jit(optimizer.init)(self.net.params)
+            params, self._opt_state, new_vars, loss, per_elem, recon = (
+                self._step_cache[T](self.net.params, self._opt_state,
+                                    self.net.extra_variables, key, x_flat))
+            self.net.replace_variables(params=params, **new_vars)
             if kwargs.get("verbose", False):
                 return jnp.abs(per_elem), jnp.abs(recon)
             return (jnp.abs(loss),)

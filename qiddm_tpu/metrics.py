@@ -362,8 +362,17 @@ def show_histogram(score_dict, metric, args, model_name=None,
                     color=colors[i % len(colors)],
                     label=label if j == 0 else "")
     plt.title(f"{metric} of Models Across Labels", fontsize=18)
+    plt.xlabel(f"{getattr(args, 'data', '')} Labels" if args is not None
+               else "Labels", fontsize=16)
     plt.ylabel(metric, fontsize=16)
-    plt.legend(fontsize=14)
+    # reference xtick/ylim protocol (src/metrics.py:85-91): 'Label i' ticks
+    # centered under each bar group, y capped at 1.1x the max score
+    plt.xticks(x + bar_width * (num_models - 1) / 2,
+               [f"Label {i}" for i in range(num_labels)], fontsize=14)
+    plt.yticks(fontsize=14)
+    plt.legend(fontsize=14, markerscale=1.5)
+    max_score = np.max(scores) if scores.size else 1.0
+    plt.ylim(0, max_score * 1.1)
     if args is not None and getattr(args, "save_path", None):
         info = (f"{map_model_name(model_name)}_{'_'.join(map(str, model_params))}"
                 if model_name and model_params else "unknown_model")

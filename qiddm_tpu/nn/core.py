@@ -16,11 +16,31 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .. import pca as pca_mod
 from ..sim import engine
 from .initializers import qweight_init
 from .layers import TorchConv, TorchDense, flatten_img, postprocess_probs, unflatten_img
+
+
+def _resolve_noise(mod, family: str):
+    """Build the module's NoiseModel; an explicit ``noise_intensity`` is
+    held in the ``noise_cfg`` variables collection rather than baked into
+    the compiled program — test-time intensity sweeps then swap/vmap the
+    variable ({"noise_cfg": {"intensity": x}}) and compile ONE program per
+    (model, channel kind) instead of one per intensity value (the
+    reference's sweep rebuilds the QNode per intensity,
+    src/mnist_noise.py:214-230, :441-444)."""
+    if mod.add_noise == 0:
+        return None
+    intensity = mod.noise_intensity
+    if intensity is not None:
+        var = mod.variable(
+            "noise_cfg", "intensity",
+            lambda: jnp.asarray(float(intensity), jnp.float32))
+        intensity = var.value
+    return engine.noise_from_code(mod.add_noise, family, intensity)
 
 
 class QDense(nn.Module):
@@ -43,8 +63,7 @@ class QDense(nn.Module):
         pixels = width * height
         wires = max(1, math.ceil(math.log2(pixels)))
         w = self.param("qweights", qweight_init(), (self.qdepth, wires, 3))
-        noise = engine.noise_from_code(self.add_noise, "qdense",
-                                       self.noise_intensity)
+        noise = _resolve_noise(self, "qdense")
         p = engine.qdense_circuit(
             flatten_img(x), w, wires=wires, pad_with=0.1,
             weight_map=self.weight_map, imprimitive="cnot", noise=noise,
@@ -72,8 +91,7 @@ class QNNA(nn.Module):
         wires = max(1, math.ceil(math.log2(pixels)))
         h = TorchDense(wires, name="linear_down")(flatten_img(x))
         w = self.param("qweights", qweight_init(), (self.qdepth, wires, 3))
-        noise = engine.noise_from_code(self.add_noise, "qnn_a",
-                                       self.noise_intensity)
+        noise = _resolve_noise(self, "qnn_a")
         p = engine.qnn_circuit(h, w, encode="ry", imprimitive="cnot",
                                noise=noise, readout="probs")
         return unflatten_img(postprocess_probs(p, pixels), width, height)
@@ -99,8 +117,7 @@ class QNNDense(nn.Module):
         h = TorchDense(self.hidden_features, name="linear_down")(flatten_img(x))
         w = self.param("qweights", qweight_init(),
                        (self.qdepth, self.hidden_features, 3))
-        noise = engine.noise_from_code(self.add_noise, "qnn",
-                                       self.noise_intensity)
+        noise = _resolve_noise(self, "qnn")
         q = engine.qnn_circuit(h, w, encode="rz", imprimitive="cz",
                                noise=noise, readout="expvalz")
         out = TorchDense(self.input_dim, name="linear_up")(q)
@@ -148,8 +165,7 @@ class Reupload(nn.Module):
         width, height = self._img_shape(x)
         pixels = width * height
         x_flat = flatten_img(x)
-        noise = engine.noise_from_code(self.add_noise, self.noise_family,
-                                       self.noise_intensity)
+        noise = _resolve_noise(self, self.noise_family)
 
         pca_state = None
         # --- down-projection ------------------------------------------------

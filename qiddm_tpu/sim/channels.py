@@ -18,43 +18,53 @@ model family; call sites pass them explicitly.
 
 from __future__ import annotations
 
+import cmath
 import math
 
 import numpy as np
 
-from .gates import I2, X, Y, Z, phase_shift_matrix
+from .gates import I2, X, Y, Z
+
+# basis matrices: builders are written as linear combinations of these so a
+# TRACED strength (jnp scalar) flows straight through — the Kraus values are
+# smooth in the strength, which is what lets intensity sweeps run as ONE
+# compiled program vmapped over the intensity axis (VERDICT r2 item 2).
+_E00 = np.array([[1.0, 0.0], [0.0, 0.0]], dtype=np.complex128)
+_E01 = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=np.complex128)
+_E11 = np.array([[0.0, 0.0], [0.0, 1.0]], dtype=np.complex128)
 
 
-def phase_shift(phi: float) -> list[np.ndarray]:
+def _sqrt(v):
+    if isinstance(v, (int, float)):
+        return math.sqrt(v)
+    import jax.numpy as jnp
+
+    return jnp.sqrt(v)
+
+
+def phase_shift(phi) -> list:
     """Unitary phase shift diag(1, e^{i phi}) as a single-element Kraus set."""
-    return [phase_shift_matrix(phi)]
+    if isinstance(phi, (int, float)):
+        return [_E00 + cmath.exp(1j * phi) * _E11]
+    import jax.numpy as jnp
+
+    return [_E00 + jnp.exp(1j * phi) * _E11]
 
 
-def phase_damping(gamma: float) -> list[np.ndarray]:
-    return [
-        np.array([[1.0, 0.0], [0.0, math.sqrt(1.0 - gamma)]], dtype=np.complex128),
-        np.array([[0.0, 0.0], [0.0, math.sqrt(gamma)]], dtype=np.complex128),
-    ]
+def phase_damping(gamma) -> list:
+    return [_E00 + _sqrt(1.0 - gamma) * _E11, _sqrt(gamma) * _E11]
 
 
-def amplitude_damping(gamma: float) -> list[np.ndarray]:
-    return [
-        np.array([[1.0, 0.0], [0.0, math.sqrt(1.0 - gamma)]], dtype=np.complex128),
-        np.array([[0.0, math.sqrt(gamma)], [0.0, 0.0]], dtype=np.complex128),
-    ]
+def amplitude_damping(gamma) -> list:
+    return [_E00 + _sqrt(1.0 - gamma) * _E11, _sqrt(gamma) * _E01]
 
 
-def depolarizing(p: float) -> list[np.ndarray]:
-    s = math.sqrt(p / 3.0)
-    return [
-        math.sqrt(1.0 - p) * I2,
-        s * X,
-        s * Y,
-        s * Z,
-    ]
+def depolarizing(p) -> list:
+    s = _sqrt(p / 3.0)
+    return [_sqrt(1.0 - p) * I2, s * X, s * Y, s * Z]
 
 
-def kraus_for(kind: str, strength: float) -> list[np.ndarray]:
+def kraus_for(kind: str, strength) -> list:
     if kind == "phase_shift":
         return phase_shift(strength)
     if kind == "phase_damping":

@@ -95,12 +95,13 @@ def apply_kraus_all_wires(rho, kraus):
 # elementwise block scalings plus one block move/trace each — O(B d^2)
 # cheap VPU ops with no tiny-axis contractions.
 
-def _phase_damp_mask(wires: int, gamma: float, dtype):
+def _phase_damp_mask(wires: int, gamma, dtype):
     """All-wires phase damping: rho'[i,j] = rho[i,j] * s^hamming(i xor j),
     s = sqrt(1-gamma) (off-diagonal coherence decays per differing bit;
     diagonals untouched). Built on device from iotas — a host-side cache
     would retain an O(4^wires) array per (wires, gamma) across intensity
-    sweeps and bake each one into its program as a constant."""
+    sweeps and bake each one into its program as a constant. ``gamma`` may
+    be a traced scalar (the vmapped-intensity sweep path)."""
     i = jnp.arange(2**wires, dtype=jnp.int32)
     x = i[:, None] ^ i[None, :]
     ham = jnp.zeros_like(x)
@@ -108,26 +109,27 @@ def _phase_damp_mask(wires: int, gamma: float, dtype):
         ham = ham + (x & 1)
         x = x >> 1
     rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
-    s = jnp.sqrt(jnp.asarray(1.0 - gamma, rdt))
+    s = jnp.sqrt(1.0 - jnp.asarray(gamma, rdt))
     return jnp.power(s, ham.astype(rdt)).astype(dtype)
 
 
-def _amp_damp_wire(rho, gamma: float, wire: int, wires: int):
+def _amp_damp_wire(rho, gamma, wire: int, wires: int):
     """K0 = diag(1, s), K1 = [[0, sqrt(g)], [0, 0]]: elementwise mask
     (1, s; s, 1-g) on the wire's 2x2 block grid plus the |1><1| block
     moving to |0><0| with weight g."""
     b = rho.shape[0]
     left, right = 2**wire, 2 ** (wires - wire - 1)
     r = rho.reshape(b, left, 2, right, left, 2, right)
+    gamma = jnp.asarray(gamma, rho.real.dtype)
     s = jnp.sqrt(1.0 - gamma)
-    c = jnp.asarray([1.0, s], rho.real.dtype)
+    c = jnp.stack([jnp.ones_like(s), s])
     m = (c[:, None] * c[None, :]).astype(rho.dtype)
     out = r * m.reshape(1, 1, 2, 1, 1, 2, 1)
     out = out.at[:, :, 0, :, :, 0, :].add(gamma * r[:, :, 1, :, :, 1, :])
     return out.reshape(b, left * 2 * right, left * 2 * right)
 
 
-def _depol_wire(rho, p: float, wire: int, wires: int):
+def _depol_wire(rho, p, wire: int, wires: int):
     """XrX + YrY + ZrZ = 2 tr_w(r) (x) I - r, so the depolarizing channel
     is rho' = (1 - 4p/3) rho + (2p/3) I (x) tr_w(rho)."""
     b = rho.shape[0]
@@ -140,26 +142,83 @@ def _depol_wire(rho, p: float, wire: int, wires: int):
     return out.reshape(b, left * 2 * right, left * 2 * right)
 
 
-def apply_channel_all_wires(rho, kind: str, strength: float):
+def apply_channel_all_wires(rho, kind: str, strength):
     """Closed-form all-wires application of the reference's channels.
 
     Exactly equals ``apply_kraus_all_wires(rho, kraus_for(kind, strength))``
     (channels on distinct wires commute); used by the engine for the three
-    non-unitary kinds. Raises KeyError for kinds without a closed form.
+    non-unitary kinds. ``strength`` may be a traced scalar. Raises KeyError
+    for kinds without a closed form.
+
+    Phase damping is DIAGONAL (one fused mask multiply). Damping and
+    depolarizing go through the grouped transfer-matrix route
+    (:func:`apply_channel_all_wires_grouped`): wires fuse into groups of 4
+    and each group is ONE dense (4^g x 4^g) superoperator contraction —
+    MXU matmul work instead of a per-wire chain of masked block
+    scatter-adds (2 ops for 8 wires instead of 16+; VERDICT r2 item 7).
     """
     w = _nwires(rho)
     if kind == "phase_damping":
-        mask = _phase_damp_mask(w, float(strength), rho.dtype)
+        mask = _phase_damp_mask(w, strength, rho.dtype)
         return rho * mask[None]
-    if kind == "amplitude_damping":
-        for j in range(w):
-            rho = _amp_damp_wire(rho, float(strength), j, w)
-        return rho
-    if kind == "depolarizing":
-        for j in range(w):
-            rho = _depol_wire(rho, float(strength), j, w)
-        return rho
+    if kind in ("amplitude_damping", "depolarizing"):
+        from .channels import kraus_for
+
+        return apply_channel_all_wires_grouped(
+            rho, kraus_for(kind, strength))
     raise KeyError(kind)
+
+
+# --- grouped transfer-matrix channel application ----------------------------
+# A single-qubit channel rho -> sum_K K rho K^dag is a linear superoperator
+# T[(x,y),(a,b)] = sum_K K[x,a] conj(K[y,b]) on the wire's (row, col) bit
+# pair. Channels on distinct wires commute and tensor, so an all-wires pass
+# groups wires and contracts each group's Kronecker-power superoperator in
+# ONE einsum — a (4^g)-dim dense contraction the MXU eats, replacing the
+# per-wire loop of reshape + masked scatter-add ops that left the TPU
+# scheduling dozens of tiny VPU kernels per pass.
+
+def transfer_tensor(kraus):
+    """(n_k, 2, 2) Kraus stack -> (2, 2, 2, 2) superoperator [x, y, a, b]."""
+    k = jnp.asarray(kraus)
+    return jnp.einsum("kxa,kyb->xyab", k, jnp.conj(k))
+
+
+def _group_transfer(t, g: int):
+    """Kronecker power of a per-wire superoperator onto a g-wire group:
+    (2,2,2,2) -> (2^g, 2^g, 2^g, 2^g) as [X, Y, A, B] with X/A row bits
+    and Y/B col bits in wire order."""
+    out = t
+    for _ in range(g - 1):
+        out = jnp.einsum("XYAB,xyab->XxYyAaBb", out, t)
+        s = out.shape
+        out = out.reshape(s[0] * s[1], s[2] * s[3], s[4] * s[5],
+                          s[6] * s[7])
+    return out
+
+
+def apply_channel_all_wires_grouped(rho, kraus, group: int = 4):
+    """Apply the same 1q channel to every wire via grouped superoperator
+    contractions. Exactly equals :func:`apply_kraus_all_wires` (tested);
+    ``group`` caps the fused group width (T_g holds 16^g entries — 512 kB
+    complex64 at g=4)."""
+    w = _nwires(rho)
+    b = rho.shape[0]
+    t1 = transfer_tensor(kraus).astype(rho.dtype)
+    pos = 0
+    while pos < w:
+        g = min(group, w - pos)
+        tg = _group_transfer(t1, g) if g > 1 else t1
+        left = 2**pos
+        dim_g = 2**g
+        right = 2 ** (w - pos - g)
+        r = rho.reshape(b, left, dim_g, right, left, dim_g, right)
+        rho = jnp.einsum("XYac,blarmcs->blXrmYs", tg, r,
+                         precision=_config.matmul_precision()
+                         ).reshape(b, left * dim_g * right,
+                                   left * dim_g * right)
+        pos += g
+    return rho
 
 
 def probs(rho):

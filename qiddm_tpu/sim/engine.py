@@ -48,10 +48,16 @@ class NoiseModel:
         spectrum layer (QIDDM family, reference nn/qdense.py:1406-1416)
       * ``"end"``    — once at the end of the circuit (Qdense/QNN_A family,
         reference nn/qdense.py:98-104, :174-180)
+
+    ``strength`` may be a Python float (baked into the program) or a TRACED
+    jnp scalar — every consumer (Kraus builders, closed-form channel masks,
+    encode over-rotation) is smooth in it, so test-time intensity sweeps
+    compile ONE program per (circuit, kind) and vmap over the intensity.
+    Never hash/compare NoiseModels holding traced strengths.
     """
 
     kind: str
-    strength: float
+    strength: object   # float | jnp scalar
     placement: str = "end"
 
     @property
@@ -101,16 +107,19 @@ def noise_from_code(code: int, family: str,
                 "add_noise=4 (Rotation Angle error) requires an explicit "
                 "noise intensity — a silent 0.0 would be a no-op labeled "
                 "as a noise run")
-        return NoiseModel("rot_angle", float(intensity), "encode")
+        if isinstance(intensity, (int, float)):
+            intensity = float(intensity)
+        return NoiseModel("rot_angle", intensity, "encode")
     kind, strength = table[code]
     if intensity is not None:
-        strength = float(intensity)
+        strength = (float(intensity)
+                    if isinstance(intensity, (int, float)) else intensity)
     return NoiseModel(kind, strength, placement)
 
 
 def _kraus_array(noise: NoiseModel, dtype) -> jnp.ndarray:
     ks = ch.kraus_for(noise.kind, noise.strength)
-    return jnp.asarray(np.stack(ks), dtype=dtype)
+    return jnp.stack([jnp.asarray(k) for k in ks]).astype(dtype)
 
 
 

@@ -171,12 +171,14 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     Returns a jittable ``f(x_enc (B, wires), weights (L, k, wires, 3)) ->``
     ``(B, wires)`` expvals (replicated) or ``(B, 2**wires)`` probs (sharded
     on the last axis). The batch is replicated; the state dimension shards
-    over ``spec.axis``. RZ encoding is diagonal, hence comm-free; rotation
-    gates on sharded wires cost one pairwise ``ppermute`` each.
+    over ``spec.axis``. RZ encoding is diagonal, hence comm-free; RY
+    encoding (the QIDDM_PL_noise1 re-uploading variant, reference
+    nn/qdense.py:597-617) and rotation gates on sharded wires cost one
+    pairwise ``ppermute`` each.
     """
-    if encode not in ("rz", "rz_halfpi"):
+    if encode not in ("rz", "rz_halfpi", "ry"):
         raise NotImplementedError(
-            f"sharded reupload supports diagonal (RZ) encodings only, "
+            f"sharded reupload supports rz/rz_halfpi/ry encodings, "
             f"got {encode!r}")
     wires, s_bits = spec.wires, spec.shard_bits
     local_wires, n_dev, axis = spec.local_wires, spec.n_dev, spec.axis
@@ -205,6 +207,16 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
             x = (jnp.pi * 0.5) * x
 
         def encode_states(local):
+            if encode == "ry":
+                # per-sample RY(x_j) on every wire applied to the CURRENT
+                # state (mid-circuit re-uploading): non-diagonal, so
+                # sharded wires cost one pairwise ppermute each
+                from .gates import ry_matrix
+
+                for j in range(wires):
+                    g = ry_matrix(x[:, j]).astype(local.dtype)  # (B, 2, 2)
+                    local = apply_1q_batched(local, g, j)
+                return local
             # RZ phase angle: -0.5 * sum_j sign_j(i) * x_j (statevector.py
             # rz_phases convention). Device bits give a per-(B,) scalar,
             # local bits a (B, dim_local) matmul.
@@ -219,6 +231,23 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                                           signs_local.T.astype(rdt))
             total = ang[:, None] + ang_local  # (B, dim_local)
             return local * jnp.exp(1j * total.astype(local.dtype))
+
+        def apply_1q_batched(local, gates, j):
+            """Per-SAMPLE (B, 2, 2) single-qubit gates on wire j."""
+            if j >= s_bits:
+                tl = j - s_bits
+                left = 2**tl
+                right = 2 ** (local_wires - tl - 1)
+                st = local.reshape(B, left, 2, right)
+                out = jnp.einsum("bxy,blyr->blxr", gates, st)
+                return out.reshape(B, -1)
+            bit = 1 << (s_bits - 1 - j)
+            perm = [(i, i ^ bit) for i in range(n_dev)]
+            other = jax.lax.ppermute(local, axis, perm)
+            b = bit_of_dev(j)
+            mine0 = gates[:, 0, 0, None] * local + gates[:, 0, 1, None] * other
+            mine1 = gates[:, 1, 0, None] * other + gates[:, 1, 1, None] * local
+            return jnp.where(b == 0, mine0, mine1)
 
         def apply_1q_any(local, gate, j):
             if j >= s_bits:

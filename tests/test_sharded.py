@@ -146,9 +146,56 @@ def test_engine_reupload_mesh_route():
                                            mesh=mesh))
     want = np.asarray(engine.reupload_block(x, w, readout="expvalz"))
     np.testing.assert_allclose(got, want, atol=1e-5)
-    with pytest.raises(NotImplementedError):
-        engine.reupload_block(x, w, encode="ry", readout="expvalz",
-                              mesh=mesh)
+
+
+def test_sharded_reupload_ry_encode_matches_dense():
+    """RY re-uploading (QIDDM_PL_noise1, reference nn/qdense.py:597-617)
+    rides the mesh: per-sample RY gates cost one ppermute on sharded wires
+    (VERDICT r2 item 5 closed). Both readouts, both rings, vs dense."""
+    from qiddm_tpu.sim import engine
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    wires, L, k, B = 5, 2, 2, 4
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(B, wires)) * 2.0, jnp.float32)
+    for imp in ("cz", "cnot"):
+        for readout in ("expvalz", "probs"):
+            got = np.asarray(reupload_block_sharded(
+                x, w, mesh, encode="ry", imprimitive=imp, readout=readout))
+            want = np.asarray(engine.reupload_block(
+                x, w, encode="ry", imprimitive=imp, readout=readout))
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"{imp}/{readout}")
+    # the engine mesh route accepts ry too
+    got = np.asarray(engine.reupload_block(x, w, encode="ry",
+                                           readout="expvalz", mesh=mesh))
+    want = np.asarray(engine.reupload_block(x, w, encode="ry",
+                                            readout="expvalz"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pl_noise1_module_rides_mesh():
+    """The QIDDM_PL_noise1 shim's circuit config (ry encode, expval
+    readout) evaluated through the mesh route equals the dense module
+    forward — the flagship-scaling completeness gap from VERDICT r2."""
+    import functools
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.sim import engine
+
+    net = nn.QIDDM_PL_noise1(64, 5, 2, 1, 0, seed=0)
+    mesh = make_mesh(8, ("data",))
+    x = jnp.asarray(RNG.uniform(size=(4, 1, 8, 8)), jnp.float32)
+    want = np.asarray(net(x))
+    orig = engine.reupload_block
+    try:
+        engine.reupload_block = functools.partial(orig, mesh=mesh)
+        net2 = nn.QIDDM_PL_noise1(64, 5, 2, 1, 0, seed=0)
+        got = np.asarray(net2(x))
+    finally:
+        engine.reupload_block = orig
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_engine_reupload_mesh_route_rot_angle_halfpi():
