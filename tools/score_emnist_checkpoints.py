@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import pathlib
 import sys
 import time
@@ -42,6 +43,15 @@ import zipfile
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+# --cpu pins the CPU backend (the axon sitecustomize overrides the env var
+# alone; config.update after import is required — see tests/conftest.py)
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 ZIP = pathlib.Path("/root/reference/results/emnist.zip")
 LABELS = [2, 14, 18, 21, 22, 23, 25]
