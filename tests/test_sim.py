@@ -380,3 +380,24 @@ def test_closed_form_channels_match_generic_kraus():
             # trace preserved
             tr = np.trace(got, axis1=1, axis2=2)
             np.testing.assert_allclose(tr, 1.0, atol=1e-5)
+
+
+def test_grouped_channel_every_group_size():
+    """The grouped superoperator route (one (4^g x 4^g) contraction per
+    g-wire group — the MXU path for the per-wire noise loops) must equal
+    the generic Kraus chain for every group size, including ragged
+    wires-not-divisible-by-group splits."""
+    wires, batch = 5, 2
+    d = 2**wires
+    st = RNG.normal(size=(batch, d)) + 1j * RNG.normal(size=(batch, d))
+    st = st / np.linalg.norm(st, axis=1, keepdims=True)
+    rho = dmod.from_statevector(jnp.asarray(st, jnp.complex64))
+    for kind in ("phase_damping", "amplitude_damping", "depolarizing"):
+        kraus = jnp.asarray(np.stack(ch.kraus_for(kind, 0.17)),
+                            jnp.complex64)
+        want = np.asarray(dmod.apply_kraus_all_wires(rho, kraus))
+        for group in (1, 2, 3, 4, 5):
+            got = np.asarray(dmod.apply_channel_all_wires_grouped(
+                rho, kraus, group=group))
+            np.testing.assert_allclose(got, want, atol=2e-5,
+                                       err_msg=f"{kind} group={group}")

@@ -190,8 +190,12 @@ def score_reference_column(splits):
     return out
 
 
-def train_ours_column(splits, epochs):
-    """Train all 7 labels of each family in ONE vmapped program."""
+def train_ours_column(splits, epochs, families=None, on_family_done=None):
+    """Train all 7 labels of each family in ONE vmapped program.
+
+    ``families``: optional subset of FAMILIES keys. ``on_family_done``:
+    callback(fam, scores) — used for incremental artifact writes so a
+    timeout loses at most one family."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -205,6 +209,8 @@ def train_ours_column(splits, epochs):
     fx = first_x_ref()
 
     for fam, spec in FAMILIES.items():
+        if families and fam not in families:
+            continue
         t0 = time.time()
         proto = build_net(fam, init_batch=np.asarray(
             stacked_train[0][:32]).reshape(-1, 1, 28, 28))
@@ -242,6 +248,8 @@ def train_ours_column(splits, epochs):
               f"{time.time() - t0:.1f}s "
               f"(ssim: {[round(out[fam][str(l)]['ssim'], 3) for l in LABELS]})",
               flush=True)
+        if on_family_done is not None:
+            on_family_done(fam, out[fam])
     return out
 
 
@@ -249,6 +257,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--families", type=str, default=None,
+                    help="comma-separated FAMILIES subset")
     ap.add_argument("--epochs", type=int, default=50,
                     help="epochs for column B (shipped ckpts record 50)")
     args = ap.parse_args()
@@ -273,10 +283,20 @@ def main():
     if path.exists():
         old = json.loads(path.read_text())
         result.update({k: v for k, v in old.items() if k != "protocol"})
+    fams = args.families.split(",") if args.families else None
     if not args.skip_ref:
         result["reference_checkpoints"] = score_reference_column(splits)
+
+    def incr_write(fam, scores):
+        # incremental write: a timeout loses at most one family
+        result.setdefault("ours_trained", {})[fam] = scores
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(result, indent=2))
+
     if not args.skip_train:
-        result["ours_trained"] = train_ours_column(splits, args.epochs)
+        trained = train_ours_column(splits, args.epochs, families=fams,
+                                    on_family_done=incr_write)
+        result.setdefault("ours_trained", {}).update(trained)
 
     # per-family means for the QUALITY.md table
     if "reference_checkpoints" in result and "ours_trained" in result:
