@@ -137,18 +137,35 @@ def _needs_dm(noise: Optional[NoiseModel]) -> bool:
     return noise is not None and not noise.is_unitary
 
 
+def _batch_traced(*xs) -> bool:
+    """True when any arg is a vmap BatchTracer — i.e. this circuit call is
+    inside an outer jax.vmap (label-/trial-stacked programs)."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # public path on older jax
+        from jax.interpreters.batching import BatchTracer
+
+    return any(isinstance(x, BatchTracer) for x in xs)
+
+
 def _sel_small_batch(states, w, imprimitive: str, cdtype):
     """Small-batch SEL application (batch < 2**wires): the fused Pallas
     SEL-chain kernel on TPU/complex64 (states stay VMEM-resident for the
     whole depth — covers CNOT and CZ rings), else gate-by-gate lax.scan
-    (CPU / x64 parity mode). Measured trade-offs: DESIGN.md §3."""
+    (CPU / x64 parity mode). Measured trade-offs: DESIGN.md §3.
+
+    Under an OUTER vmap (label-stacked training) the call routes to the
+    XLA gate path: jax's default pallas batching rule for this kernel
+    kernel-faulted the TPU worker (observed on the vmapped Qdense EMNIST
+    run), while the XLA path vmaps natively."""
     import jax
 
     from .. import config as _config
 
     if (_config.use_pallas() and jax.default_backend() == "tpu"
             and cdtype == jnp.complex64
-            and w.shape[1] <= _config.pallas_max_wires()):  # VMEM cap
+            and w.shape[1] <= _config.pallas_max_wires()  # VMEM cap
+            and not _batch_traced(states, w)):
         from .gates import rot_matrix
         from .pallas_gate_kernel import sel_chain_pallas
 

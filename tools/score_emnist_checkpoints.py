@@ -261,7 +261,55 @@ def main():
                     help="comma-separated FAMILIES subset")
     ap.add_argument("--epochs", type=int, default=50,
                     help="epochs for column B (shipped ckpts record 50)")
+    ap.add_argument("--out", type=str,
+                    default="results/emnist_head_to_head.json",
+                    help="output json (per-family parallel runs write "
+                         "separate files, merged by --merge)")
+    ap.add_argument("--merge", type=str, nargs="*", default=None,
+                    help="merge these per-family jsons into --out and "
+                         "recompute the summary; no scoring")
     args = ap.parse_args()
+
+    if args.merge is not None:
+        merged = {}
+        for mp in args.merge:
+            part = json.loads(pathlib.Path(mp).read_text())
+            for key in ("reference_checkpoints", "ours_trained"):
+                if key in part:
+                    merged.setdefault(key, {}).update(part[key])
+            if "protocol" in part:
+                merged.setdefault("protocol", part["protocol"])
+        out_path = pathlib.Path(args.out)
+        if out_path.exists():
+            base = json.loads(out_path.read_text())
+            for key in ("reference_checkpoints", "ours_trained"):
+                if key in merged:
+                    base.setdefault(key, {}).update(merged[key])
+                elif key in base:
+                    merged[key] = base[key]
+            base.update({k: v for k, v in merged.items()})
+            merged = base
+        summary = {}
+        ref_all = merged.get("reference_checkpoints", {})
+        ours_all = merged.get("ours_trained", {})
+        for fam in FAMILIES:
+            ref, ours = ref_all.get(fam, {}), ours_all.get(fam, {})
+            common = sorted(set(ref) & set(ours))
+            if common:
+                summary[fam] = {
+                    "labels": common,
+                    "ref_mean_ssim": float(np.mean(
+                        [ref[l]["ssim"] for l in common])),
+                    "ours_mean_ssim": float(np.mean(
+                        [ours[l]["ssim"] for l in common])),
+                    "wins": sum(ours[l]["ssim"] >= ref[l]["ssim"]
+                                for l in common),
+                }
+        merged["summary"] = summary
+        out_path.write_text(json.dumps(merged, indent=2))
+        print(json.dumps(summary, indent=2))
+        print(f"merged -> {out_path}")
+        return
 
     splits = load_data()
     result = {
@@ -279,7 +327,7 @@ def main():
                             for l in LABELS},
         },
     }
-    path = pathlib.Path("results") / "emnist_head_to_head.json"
+    path = pathlib.Path(args.out)
     if path.exists():
         old = json.loads(path.read_text())
         result.update({k: v for k, v in old.items() if k != "protocol"})
