@@ -83,3 +83,25 @@ def set_use_pallas(on: bool) -> None:
 
 def use_pallas() -> bool:
     return _USE_PALLAS
+
+
+# Density-backend all-wires channel application strategy:
+# * "perwire": the closed-form per-wire block pass (elementwise mask + one
+#   block add per wire) — few FLOPs, 2 small VPU ops per wire;
+# * "grouped": Kronecker-power superoperator contraction in 4-wire groups
+#   (2 dense einsums for 8 wires) — MXU work, fewer kernels, but each pass
+#   moves/contracts the whole rho per group.
+# Both are exact (tests pin equality); the default is the variant that
+# measured faster for the noise-sweep workload on the v5e (see DESIGN.md).
+_DM_CHANNEL_MODE = "perwire"
+
+
+def set_dm_channel_mode(mode: str) -> None:
+    if mode not in ("perwire", "grouped"):
+        raise ValueError(mode)
+    global _DM_CHANNEL_MODE
+    _DM_CHANNEL_MODE = mode
+
+
+def dm_channel_mode() -> str:
+    return _DM_CHANNEL_MODE

@@ -162,10 +162,21 @@ def apply_channel_all_wires(rho, kind: str, strength):
         mask = _phase_damp_mask(w, strength, rho.dtype)
         return rho * mask[None]
     if kind in ("amplitude_damping", "depolarizing"):
-        from .channels import kraus_for
+        from .. import config as _cfg
 
-        return apply_channel_all_wires_grouped(
-            rho, kraus_for(kind, strength))
+        if _cfg.dm_channel_mode() == "grouped":
+            from .channels import kraus_for
+
+            return apply_channel_all_wires_grouped(
+                rho, kraus_for(kind, strength))
+        if kind == "amplitude_damping":
+            for j in range(w):
+                rho = _amp_damp_wire(rho, strength, j, w)
+            return rho
+        p = jnp.asarray(strength, rho.real.dtype)
+        for j in range(w):
+            rho = _depol_wire(rho, p, j, w)
+        return rho
     raise KeyError(kind)
 
 
