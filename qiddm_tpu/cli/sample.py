@@ -48,8 +48,15 @@ def parse_args(argv):
 def main(argv=None):
     args = parse_args(sys.argv[1:] if argv is None else argv)
     net = common.build_model(list(args.model), seed=args.seed)
-    ckpt = load_checkpoint(args.ckpt)
-    net.variables = ckpt["model_state_dict"]
+    if (str(args.ckpt).endswith(".orbax")
+            or pathlib.Path(args.ckpt).is_dir()):
+        from ..ckpt import load_orbax
+
+        net.variables = load_orbax(
+            args.ckpt, like={"variables": net.variables})["variables"]
+    else:
+        ckpt = load_checkpoint(args.ckpt)
+        net.variables = ckpt["model_state_dict"]
     s = args.img_size
     diff = Diffusion(net=net, prediction_goal=args.target, shape=(s, s)).eval()
 

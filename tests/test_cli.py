@@ -251,3 +251,17 @@ def test_sample_serving_cli(tmp_path):
         "--mesh-devices", str(len(jax.devices()))])
     np.testing.assert_allclose(np.asarray(imgs_mesh), np.asarray(imgs),
                                atol=1e-5)
+
+    # orbax checkpoints serve identically
+    from qiddm_tpu.ckpt import save_orbax
+
+    opath = tmp_path / "serving.orbax"
+    save_orbax(opath, net.variables, loss_values=[0.5], epochs=1)
+    imgs_orbax = sample_cli.main(
+        ["--ckpt", str(opath),
+         "--model", "QIDDM_LL_noise", "64", "4", "2", "1",
+         "--img_size", "8", "--n", "16", "--iters", "3",
+         "--out", str(tmp_path / "s3"), "--format", "npz",
+         "--batches", "2", "--seed", "3"])
+    np.testing.assert_allclose(np.asarray(imgs_orbax), np.asarray(imgs),
+                               atol=1e-5)
