@@ -319,7 +319,13 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         # and O(L k w) weight memory, structured as scan-over-L so the
         # program size is constant in depth. This is the single-chip wide
         # path; the mesh-sharded path (mesh=...) layers on top of it.
-        if not compose and wires > _config.pallas_max_wires():
+        # Off-TPU the same route also takes over from wires >= 9: there
+        # the per-layer-unitary assembly (O(L k w d^3) scalar matmuls per
+        # step) is catastrophic — a differN (L=15, 10 wires) CPU training
+        # step pays ~64 GFLOP assembling unitaries vs ~3 MFLOP gate-level.
+        # On TPU the assembly is MXU work and stays the better trade.
+        if not compose and (wires > _config.pallas_max_wires()
+                            or (not on_tpu and wires >= 9)):
             from .sel import sel_apply_gates
 
             states = zero_state(batch, wires, dtype=cdtype)
