@@ -82,13 +82,15 @@ def bench_intensity_sweep(mode: str, n_int=10, batch=10, iters=15, reps=3):
 
 
 def main():
+    # NOTE: bench_raw (the synthetic scan microbench) is skipped on the
+    # axon backend — its program shape hits an UNIMPLEMENTED backend op
+    # and wedges the TPU worker for ~an hour. The two real-workload
+    # benches below are proven program shapes.
     out = {}
     for mode in ("perwire", "grouped"):
-        us = bench_raw(mode)
         v, detail = bench_dm_sampling(mode)
         sw, wall = bench_intensity_sweep(mode)
-        out[mode] = {"raw_us_per_apply": round(us, 1),
-                     "dm_sample_images_per_sec": v,
+        out[mode] = {"dm_sample_images_per_sec": v,
                      "sweep_images_x_intensities_per_sec": round(sw, 1),
                      "sweep_wall_s": round(wall, 2)}
         print(mode, json.dumps(out[mode]), flush=True)
