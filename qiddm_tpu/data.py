@@ -252,7 +252,8 @@ def _letters_fallback(side: int, per_class: int = 200):
     cache_path = DATA_DIR / f"emnist_letters_synth_{side}.npz"
     if cache_path.exists():
         z = np.load(cache_path)
-        return np.asarray(z["x"], np.float64), np.asarray(z["y"], np.int64)
+        return (np.asarray(z["x"], np.float64) / 255.0,
+                np.asarray(z["y"], np.int64))
 
     from PIL import Image, ImageDraw, ImageFilter, ImageFont
 

@@ -312,3 +312,30 @@ def test_checkpoint_every_preserves_optimizer_state():
     unthreaded = run_unthreaded()
     assert threaded[:2] == unthreaded[:2]          # same first segment
     assert threaded[2:] != unthreaded[2:]          # moments actually carried
+
+
+def test_emnist_letters_fallback():
+    """Offline EMNIST resolves to the SYNTHETIC font-rendered letters
+    stand-in: 26 classes of letter-shaped images (not digits), loudly
+    warned, deterministic across loads (npz-cached)."""
+    import warnings
+
+    import numpy as np
+
+    from qiddm_tpu import data
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        x, y, h, w = data.emnist_28x28(n_classes=26, ds_size=1300)
+    assert (h, w) == (28, 28) and x.shape == (1300, 784)
+    assert any("SYNTHETIC" in str(r.message) for r in rec)
+    labels = set(int(v) for v in y)
+    assert labels == set(range(26))  # every letter class in the head slice
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    # ink fraction sane for centered glyphs (not blank, not full-field)
+    ink = (x > 0.25).mean()
+    assert 0.03 < ink < 0.5, ink
+    # deterministic reload (cache hit)
+    x2, y2, _, _ = data.emnist_28x28(n_classes=26, ds_size=1300)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
