@@ -323,13 +323,14 @@ def _letters_fallback(side: int, per_class: int = 200):
     # interleave classes so head-truncation (ds_size) keeps every class
     order = rng.permutation(len(imgs))
     imgs, labels = imgs[order], labels[order]
+    # quantize BEFORE returning so cached and fresh loads are bit-identical
+    x8 = (imgs * 255).astype(np.uint8)
     try:
         DATA_DIR.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(cache_path,
-                            x=(imgs * 255).astype(np.uint8), y=labels)
+        np.savez_compressed(cache_path, x=x8, y=labels)
     except OSError:
         pass
-    return imgs, labels
+    return x8.astype(np.float64) / 255.0, labels
 
 
 def cifar10_32x32(n_classes=10, ds_size=100):
