@@ -339,3 +339,37 @@ def test_emnist_letters_fallback():
     x2, y2, _, _ = data.emnist_28x28(n_classes=26, ds_size=1300)
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_persistent_compilation_cache(tmp_path):
+    """config._setup_compilation_cache points XLA's persistent cache at
+    QIDDM_XLA_CACHE_DIR (driver reruns skip compiles); empty disables it.
+    Runs in subprocesses because the setup happens at package import."""
+    import os
+
+    cache_dir = tmp_path / "xla"
+    prog = """
+import jax
+# the axon sitecustomize overrides the env var alone (see conftest.py)
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
+import qiddm_tpu
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+@jax.jit
+def f(x):
+    return jax.lax.scan(lambda s, _: (jnp.tanh(s @ s), None), x, None,
+                        length=8)[0]
+np.asarray(f(jnp.ones((64, 64))))
+print("CACHEDIR=" + str(jax.config.jax_compilation_cache_dir))
+"""
+    env = dict(os.environ, QIDDM_XLA_CACHE_DIR=str(cache_dir),
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", prog], env=env,
+                         capture_output=True, text=True, check=True)
+    assert f"CACHEDIR={cache_dir}" in out.stdout
+    assert any(cache_dir.iterdir()), "no cache entries written"
+
+    env["QIDDM_XLA_CACHE_DIR"] = ""
+    out = subprocess.run([sys.executable, "-c", prog], env=env,
+                         capture_output=True, text=True, check=True)
+    assert "CACHEDIR=None" in out.stdout
