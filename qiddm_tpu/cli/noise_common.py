@@ -24,18 +24,42 @@ from ..noise import add_normal_noise_multiple
 from . import common
 
 def _sample_intensities(diff, first_x, tau_test: int, intensities):
-    """Sampler grids for EVERY intensity in one compiled program: the
-    channel strength is a traced variable, so the sweep vmaps over it
-    instead of recompiling per value. Returns (n_intensities, grid...)."""
+    """Sampler grids for EVERY intensity through ONE compiled program: the
+    channel strength is a traced argument, so the sweep reuses a single
+    jitted sampler across all values instead of recompiling per value.
+    Returns (n_intensities, grid...).
+
+    A Python loop over the jitted program rather than vmap/lax.map over
+    the intensity axis: the scalar-strength program keeps the fused
+    Pallas dm-block kernel eligible (sim/pallas_dm_kernel.py, ~13x over
+    the XLA dm path) and measured faster than either batched variant —
+    a wrapping vmap would route the kernel off (pallas batching rule),
+    and the lax.map program both compiled ~2.4x slower and ran its body
+    ~5x slower than the standalone sampler on the v5e."""
     base = {k: v for k, v in diff.net.variables.items() if k != "noise_cfg"}
     first_x = jnp.asarray(first_x)
 
-    def one(intensity):
-        v = {**base, "noise_cfg": {"intensity": intensity}}
-        return diff.sample_fn(v, first_x, n_iters=tau_test, only_last=False)
+    # one jitted sampler per (diff, tau, first_x shape), reused across
+    # calls — a fresh jit wrapper per call would retrace AND recompile the
+    # program every time (the Pallas payload hashes fresh per trace, so
+    # even the persistent cache cannot absorb it; measured ~16 min per
+    # recompile on the axon backend)
+    key = (tau_test, first_x.shape)
+    cache = getattr(diff, "_intensity_samplers", None)
+    if cache is None:
+        cache = diff._intensity_samplers = {}
+    one = cache.get(key)
+    if one is None:
+        @jax.jit
+        def one(intensity, base, first_x):
+            v = {**base, "noise_cfg": {"intensity": intensity}}
+            return diff.sample_fn(v, first_x, n_iters=tau_test,
+                                  only_last=False)
 
-    ints = jnp.asarray([float(v) for v in intensities], jnp.float32)
-    return jax.jit(jax.vmap(one))(ints)
+        cache[key] = one
+
+    return jnp.stack([one(jnp.float32(v), base, first_x)
+                      for v in intensities])
 
 
 NOISE_TYPE_LABELS = {

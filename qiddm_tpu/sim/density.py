@@ -54,6 +54,31 @@ def apply_unitary(rho, unitary):
                       precision=_config.matmul_precision())
 
 
+def apply_chain_two_sided(rho, chain_fn):
+    """rho -> U rho U^dagger with U supplied as a statevector gate chain.
+
+    ``chain_fn`` maps a ``(B, d)`` batch of statevectors to ``U @ states``.
+    Uses rho's Hermiticity: with ``f(M) = U M`` (columns of M treated as
+    states), ``(U rho)^dagger = rho U^dagger``, so
+    ``U rho U^dagger = f((f(rho))^dagger)`` — two gate-chain passes over
+    ``b*d`` states. This replaces apply_unitary's two ``(b*d, d) x (d, d)``
+    complex matmuls (O(b d^3) fp32-highest MXU work, plus the O(k d^3)
+    unitary composition) with O(gates * b * d^2) elementwise work that the
+    fused Pallas SEL chain runs VMEM-resident — the winning trade at the
+    reference noise-sweep shapes (batch 10, d=256; measured in
+    results/dm_mode_ab.json). Exact up to fp rounding and the Hermiticity
+    of rho (preserved by every CPTP step of the dm path).
+    """
+    b, d, _ = rho.shape
+
+    def left(m):
+        cols = jnp.swapaxes(m, 1, 2).reshape(b * d, d)
+        out = chain_fn(cols)
+        return jnp.swapaxes(out.reshape(b, d, d), 1, 2)
+
+    return left(jnp.conj(jnp.swapaxes(left(rho), 1, 2)))
+
+
 def apply_diag(rho, diag):
     """Apply a diagonal unitary given as (batch, d) phases: rho_ij *= d_i d_j*."""
     return rho * (diag[:, :, None] * jnp.conj(diag)[:, None, :])

@@ -24,6 +24,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config as _config
 from . import channels as ch
 from . import density as dm
 from .gates import WEIGHT_MAPS
@@ -160,7 +161,6 @@ def _sel_small_batch(states, w, imprimitive: str, cdtype):
     run), while the XLA path vmaps natively."""
     import jax
 
-    from .. import config as _config
 
     if (_config.use_pallas() and jax.default_backend() == "tpu"
             and cdtype == jnp.complex64
@@ -284,7 +284,6 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     x_enc = _encode_angles(x_enc, encode, noise)
 
     if not _needs_dm(noise):
-        from .. import config as _config
 
         # Strategy ladder:
         # * batch >= dim: compose each block into one unitary (MXU matmuls,
@@ -382,14 +381,24 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             return probs(states)
         return expval_z(states)
 
-    # density-matrix path (damping/depolarizing channels inside the loop)
-    us = sel_unitaries(block_weights, imprimitive=imprimitive).astype(cdtype)
+    # density-matrix path (damping/depolarizing channels inside the loop).
+    # SEL strategy (config.dm_unitary_mode): "gates" applies the chain to
+    # both sides of rho via density.apply_chain_two_sided (O(L k w b d^2)
+    # elementwise, Pallas-fused on TPU); "matmul" is the composed-unitary
+    # sandwich (O(L b d^3) MXU). Measured A/B: results/dm_mode_ab.json.
+    dm_gates = _config.dm_unitary_mode() == "gates"
     rho = dm.zero_density(batch, wires, dtype=cdtype)
     phases = rz_phases(x_enc, wires) if encode in ("rz", "rz_halfpi") else None
 
     def encode_rho(rho):
         if phases is not None:
             return dm.apply_diag(rho, phases)
+        if dm_gates:
+            from .statevector import apply_ry_all
+
+            x_cols = jnp.repeat(x_enc, dim, axis=0)  # column-batch angles
+            return dm.apply_chain_two_sided(
+                rho, lambda cols: apply_ry_all(cols, x_cols))
         # RY per wire on a density matrix via its 2x2 unitaries
         from .gates import ry_matrix
 
@@ -398,13 +407,70 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             rho = _apply_1q_batched_unitary(rho, g, j, wires)
         return rho
 
-    def body(rho, u):
-        rho = encode_rho(rho)
-        if noise.placement == "encode":
-            rho = _apply_noise_all_wires(rho, noise, cdtype)
-        return dm.apply_unitary(rho, u), None
+    if dm_gates:
+        strength = noise.strength if noise is not None else None
+        pallas_ok = (
+            _config.use_pallas() and jax.default_backend() == "tpu"
+            and cdtype == jnp.complex64
+            and wires <= _config.pallas_max_wires()
+            and not _batch_traced(x_enc, block_weights, strength))
+        # Fully-fused dm block kernel: the whole L x [encode -> channel ->
+        # SEL] chain in ONE Pallas program with rho VMEM-resident as
+        # (d, b*d) planes — the dm step is otherwise per-op-overhead-bound
+        # (~50 tiny XLA ops per spectrum layer; see pallas_dm_kernel.py).
+        from .pallas_dm_kernel import KIND_IDS
 
-    rho, _ = jax.lax.scan(body, rho, us)
+        if (pallas_ok and phases is not None
+                and imprimitive == "cz"
+                and noise.placement == "encode"
+                and noise.kind in KIND_IDS
+                and batch * dim * dim <= (1 << 22)):  # plane VMEM cap
+            from .gates import rot_matrix
+            from .pallas_dm_kernel import dm_reupload_chain_pallas
+
+            flat = block_weights.reshape(L * k, wires, 3)
+            mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+            rho = dm_reupload_chain_pallas(
+                phases, mats, k, wires, noise.kind,
+                noise.strength).astype(cdtype)
+            if readout == "probs":
+                return dm.probs(rho)
+            return dm.expval_z(rho)
+        use_pallas_chain = pallas_ok
+
+        def sel_rho(rho, w_l):  # w_l: (k, wires, 3)
+            if use_pallas_chain:
+                from .gates import rot_matrix
+                from .pallas_gate_kernel import sel_chain_pallas
+
+                mats = rot_matrix(w_l[..., 0], w_l[..., 1], w_l[..., 2])
+                chain = lambda s: sel_chain_pallas(
+                    s, mats, wires, imprimitive=imprimitive).astype(cdtype)
+            else:
+                from .sel import sel_apply_gates
+
+                chain = lambda s: sel_apply_gates(
+                    s, w_l, imprimitive=imprimitive)
+            return dm.apply_chain_two_sided(rho, chain)
+
+        def body(rho, w_l):
+            rho = encode_rho(rho)
+            if noise.placement == "encode":
+                rho = _apply_noise_all_wires(rho, noise, cdtype)
+            return sel_rho(rho, w_l), None
+
+        rho, _ = jax.lax.scan(body, rho, block_weights)
+    else:
+        us = sel_unitaries(block_weights,
+                           imprimitive=imprimitive).astype(cdtype)
+
+        def body(rho, u):
+            rho = encode_rho(rho)
+            if noise.placement == "encode":
+                rho = _apply_noise_all_wires(rho, noise, cdtype)
+            return dm.apply_unitary(rho, u), None
+
+        rho, _ = jax.lax.scan(body, rho, us)
     if noise.placement == "end":
         rho = _apply_noise_all_wires(rho, noise, cdtype)
     if readout == "probs":
@@ -417,7 +483,6 @@ def _apply_1q_batched_unitary(rho, gate, wire: int, wires: int):
     b = rho.shape[0]
     left = 2**wire
     right = 2 ** (wires - wire - 1)
-    from .. import config as _config
 
     r = rho.reshape(b, left, 2, right, left, 2, right)
     out = jnp.einsum("bxy,blyrmzs,bwz->blxrmws", gate, r, jnp.conj(gate),
@@ -464,8 +529,6 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
         # (a trailing phase_shift is diagonal: probs/Z-expectations unchanged)
         return probs(states) if readout == "probs" else expval_z(states)
 
-    u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
-
     if encode == "ry":
         rho = dm.from_statevector(ry_product_state(x, wires, dtype=cdtype))
     else:
@@ -473,7 +536,27 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
         rho = dm.apply_diag(rho, rz_phases(x, wires))
     if noise.placement == "encode":
         rho = _apply_noise_all_wires(rho, noise, cdtype)
-    rho = dm.apply_unitary(rho, u)
+    if _config.dm_unitary_mode() == "gates":
+        import jax
+
+        from .sel import sel_apply_gates
+
+        if (_config.use_pallas() and jax.default_backend() == "tpu"
+                and cdtype == jnp.complex64
+                and wires <= _config.pallas_max_wires()
+                and not _batch_traced(x, w, noise.strength)):
+            from .gates import rot_matrix
+            from .pallas_gate_kernel import sel_chain_pallas
+
+            mats = rot_matrix(w[..., 0], w[..., 1], w[..., 2])
+            chain = lambda s: sel_chain_pallas(
+                s, mats, wires, imprimitive=imprimitive).astype(cdtype)
+        else:
+            chain = lambda s: sel_apply_gates(s, w, imprimitive=imprimitive)
+        rho = dm.apply_chain_two_sided(rho, chain)
+    else:
+        u = sel_unitary(w, imprimitive=imprimitive).astype(cdtype)
+        rho = dm.apply_unitary(rho, u)
     if noise.placement == "end":
         rho = _apply_noise_all_wires(rho, noise, cdtype)
     return dm.probs(rho) if readout == "probs" else dm.expval_z(rho)

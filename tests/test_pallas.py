@@ -81,3 +81,60 @@ def test_fused_single_layer_blocks():
     want = np.asarray(_jnp_chain(phases, lus, k))
     got = np.asarray(reupload_chain_pallas(phases, lus, k, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# --- fused density-matrix block kernel --------------------------------------
+
+@pytest.mark.parametrize("kind", ["amplitude_damping", "depolarizing",
+                                  "phase_damping"])
+@pytest.mark.parametrize("wires,L,k,B", [(3, 2, 2, 3), (4, 3, 2, 2)])
+def test_dm_chain_kernel_matches_engine(kind, wires, L, k, B):
+    """dm_reupload_chain_pallas (interpret mode) vs the XLA dm path of
+    reupload_block for every non-unitary reference channel kind."""
+    from qiddm_tpu import sim
+    from qiddm_tpu.sim import density as dm
+    from qiddm_tpu.sim.gates import rot_matrix
+    from qiddm_tpu.sim.pallas_dm_kernel import dm_reupload_chain_pallas
+
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.4, jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(B, wires)), jnp.float32)
+    noise = sim.NoiseModel(kind, 0.2, "encode")
+    want = np.asarray(sim.reupload_block(x, w, encode="rz", noise=noise,
+                                         readout="probs"))
+    phases = rz_phases(x, wires)
+    flat = w.reshape(L * k, wires, 3)
+    mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+    rho = dm_reupload_chain_pallas(phases, mats, k, wires, kind, 0.2,
+                                   interpret=True)
+    got = np.asarray(dm.probs(rho))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # the channel must actually act
+    clean = np.asarray(sim.reupload_block(x, w, encode="rz",
+                                          readout="probs"))
+    assert not np.allclose(got, clean, atol=1e-4)
+
+
+def test_dm_chain_kernel_traced_strength():
+    """Strength as a traced scalar (the lax.map intensity-sweep path)."""
+    from qiddm_tpu import sim
+    from qiddm_tpu.sim import density as dm
+    from qiddm_tpu.sim.gates import rot_matrix
+    from qiddm_tpu.sim.pallas_dm_kernel import dm_reupload_chain_pallas
+
+    wires, L, k, B = 3, 2, 2, 2
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.4, jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(B, wires)), jnp.float32)
+    phases = rz_phases(x, wires)
+    flat = w.reshape(L * k, wires, 3)
+    mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+
+    def probs_at(s):
+        rho = dm_reupload_chain_pallas(phases, mats, k, wires,
+                                       "amplitude_damping", s,
+                                       interpret=True)
+        return dm.probs(rho)
+
+    outs = jax.lax.map(probs_at, jnp.asarray([0.1, 0.4], jnp.float32))
+    for i, s in enumerate([0.1, 0.4]):
+        want = np.asarray(probs_at(jnp.float32(s)))
+        np.testing.assert_allclose(np.asarray(outs)[i], want, atol=1e-6)

@@ -401,3 +401,46 @@ def test_grouped_channel_every_group_size():
                 rho, kraus, group=group))
             np.testing.assert_allclose(got, want, atol=2e-5,
                                        err_msg=f"{kind} group={group}")
+
+
+def test_dm_unitary_modes_agree():
+    """config.dm_unitary_mode: the two-sided gate-chain route must equal the
+    composed-unitary matmul sandwich on every dm path (reupload with both
+    encodes + placements, qnn), scalar and vmapped strength."""
+    from qiddm_tpu import config as cfg
+
+    wires, L, k, batch = 3, 2, 2, 3
+    w = jnp.asarray(rand_weights(L, k, wires, 3), jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(batch, wires)), jnp.float32)
+
+    def run_reupload(encode, kind, strength):
+        n = sim.NoiseModel(kind, strength, "encode")
+        return sim.reupload_block(x, w, encode=encode, noise=n,
+                                  readout="probs")
+
+    w_qnn = jnp.asarray(rand_weights(4, wires, 3), jnp.float32)
+
+    def run_qnn(strength):
+        n = sim.NoiseModel("amplitude_damping", strength, "end")
+        return sim.qnn_circuit(x, w_qnn, noise=n, readout="expvalz")
+
+    cases = [
+        lambda: run_reupload("rz", "amplitude_damping", 0.2),
+        lambda: run_reupload("ry", "depolarizing", 0.3),
+        lambda: run_qnn(0.15),
+        # vmapped (traced) strength — the one-program intensity-sweep path
+        lambda: jax.vmap(
+            lambda s: sim.reupload_block(
+                x, w, noise=sim.NoiseModel("amplitude_damping", s, "encode"),
+                readout="expvalz")
+        )(jnp.asarray([0.0, 0.1, 0.4], jnp.float32)),
+    ]
+    assert cfg.dm_unitary_mode() == "gates"
+    for case in cases:
+        got = np.asarray(case())
+        cfg.set_dm_unitary_mode("matmul")
+        try:
+            want = np.asarray(case())
+        finally:
+            cfg.set_dm_unitary_mode("gates")
+        np.testing.assert_allclose(got, want, atol=2e-5)
