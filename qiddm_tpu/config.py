@@ -40,6 +40,14 @@ def _setup_compilation_cache() -> None:
         # cache anything that took >=0.5 s to compile, regardless of size
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # Full tracebacks in MLIR locations make the serialized Mosaic
+        # payload of pallas_call different on EVERY trace (verified: two
+        # lowerings of the identical kernel program differ in the
+        # custom-call body), so Pallas programs would never hit this
+        # cache — and the fused kernels are exactly the multi-minute
+        # compiles the cache exists for. Trade: XLA error messages lose
+        # the Python stack in op locations.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # unwritable dir / unsupported backend: run uncached
         pass
 

@@ -373,3 +373,15 @@ print("CACHEDIR=" + str(jax.config.jax_compilation_cache_dir))
     out = subprocess.run([sys.executable, "-c", prog], env=env,
                          capture_output=True, text=True, check=True)
     assert "CACHEDIR=None" in out.stdout
+
+
+def test_deterministic_lowering_flag():
+    """Importing qiddm_tpu turns off full tracebacks in MLIR locations:
+    with them on, the serialized Mosaic payload of pallas_call differs on
+    every trace, so kernel programs (multi-minute compiles) could never
+    hit the persistent compilation cache."""
+    import jax
+
+    import qiddm_tpu  # noqa: F401  (the import applies config)
+
+    assert jax.config.jax_include_full_tracebacks_in_locations is False
