@@ -420,8 +420,7 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         # (~50 tiny XLA ops per spectrum layer; see pallas_dm_kernel.py).
         from .pallas_dm_kernel import KIND_IDS
 
-        if (pallas_ok and phases is not None
-                and imprimitive == "cz"
+        if (pallas_ok and imprimitive == "cz"
                 and noise.placement == "encode"
                 and noise.kind in KIND_IDS
                 and batch * dim * dim <= (1 << 22)):  # plane VMEM cap
@@ -431,8 +430,9 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             flat = block_weights.reshape(L * k, wires, 3)
             mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
             rho = dm_reupload_chain_pallas(
-                phases, mats, k, wires, noise.kind,
-                noise.strength).astype(cdtype)
+                phases, mats, k, wires, noise.kind, noise.strength,
+                ry_angles=(None if phases is not None else x_enc),
+            ).astype(cdtype)
             if readout == "probs":
                 return dm.probs(rho)
             return dm.expval_z(rho)

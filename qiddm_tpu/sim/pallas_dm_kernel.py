@@ -142,19 +142,57 @@ def _apply_channel(rr, ri, kind_id: int, strength, d: int, B: int, w: int):
     return rr, ri
 
 
+def _lane_coeff_gate_row(rr, ri, c, s, j: int, d: int, B: int, w: int):
+    """Row-side RY gate with PER-LANE (per-sample) real coefficients:
+    [[c, -s], [s, c]] where c/s are (1, B) planes. Broadcasts over rows."""
+    bit = 1 << (w - 1 - j)
+    is1 = _wire_mask(j, d, B, w)
+    o_r, o_i = _row_partner(rr, ri, bit, is1)
+    # row bit 0: c*own - s*partner ; row bit 1: s*partner(bit0 value) + c*own
+    n_r0 = c * rr - s * o_r
+    n_i0 = c * ri - s * o_i
+    n_r1 = s * o_r + c * rr
+    n_i1 = s * o_i + c * ri
+    return jnp.where(is1, n_r1, n_r0), jnp.where(is1, n_i1, n_i0)
+
+
+def _lane_coeff_gate_lane(rr, ri, c, s, j: int, d: int, B: int, w: int):
+    """Lane-side RY gate (conj(RY) = RY, real) with per-lane coefficients.
+    The lane partner c ^ bit stays within the sample, so the coefficient
+    plane is constant across each partner pair."""
+    bit = 1 << (w - 1 - j)
+    is1 = _lane_bit_mask(j, d, B, w)
+    o_r, o_i = _lane_partner(rr, ri, bit, is1)
+    n_r0 = c * rr - s * o_r
+    n_i0 = c * ri - s * o_i
+    n_r1 = s * o_r + c * rr
+    n_i1 = s * o_i + c * ri
+    return jnp.where(is1, n_r1, n_r0), jnp.where(is1, n_i1, n_i0)
+
+
 def _dm_fwd_kernel(k: int, w: int, n_layers: int, kind_id: int,
+                   ry_encode: bool,
                    er_ref, ei_ref, g_ref, sgr_ref, sgl_ref, s_ref,
                    or_ref, oi_ref):
-    d, B = er_ref.shape
+    d = er_ref.shape[0] if not ry_encode else or_ref.shape[0]
+    B = or_ref.shape[1]
     strength = s_ref[0]
 
     def body(l, carry):
         rr, ri = carry
-        # encode: rho *= E (E = ph ph^dagger per sample)
-        er, ei = er_ref[:], ei_ref[:]
-        tr = rr * er - ri * ei
-        ti = rr * ei + ri * er
-        rr, ri = tr, ti
+        if ry_encode:
+            # er_ref: (2*w, B) per-sample cos/sin rows; RY_j on both sides
+            for j in range(w):
+                c = er_ref[j:j + 1, :]
+                s = er_ref[w + j:w + j + 1, :]
+                rr, ri = _lane_coeff_gate_row(rr, ri, c, s, j, d, B, w)
+                rr, ri = _lane_coeff_gate_lane(rr, ri, c, s, j, d, B, w)
+        else:
+            # encode: rho *= E (E = ph ph^dagger per sample)
+            er, ei = er_ref[:], ei_ref[:]
+            tr = rr * er - ri * ei
+            ti = rr * ei + ri * er
+            rr, ri = tr, ti
         rr, ri = _apply_channel(rr, ri, kind_id, strength, d, B, w)
         for li in range(k):
             for j in range(w):
@@ -176,23 +214,39 @@ def _dm_fwd_kernel(k: int, w: int, n_layers: int, kind_id: int,
 
 
 def dm_reupload_chain_pallas(phases, rot_mats, k: int, wires: int,
-                             kind: str, strength, interpret: bool = False):
+                             kind: str, strength, interpret: bool = False,
+                             ry_angles=None):
     """Run the full dm re-uploading block fused: L x [encode -> channel ->
     SEL(k, CZ)] from rho = |0..0><0..0|.
 
     phases: (b, d) complex per-sample RZ-phase diagonals (re-applied every
-    spectrum layer); rot_mats: (L*k, wires, 2, 2) complex; strength: scalar
-    (Python float or traced). Returns rho (b, d, d) complex64.
+    spectrum layer), or None with ``ry_angles`` (b, wires) for the RY
+    re-uploading encode (QIDDM_PL_noise1, reference nn/qdense.py:597-617
+    — per-sample RY gates applied to both sides of rho with per-lane
+    coefficient planes); rot_mats: (L*k, wires, 2, 2) complex; strength:
+    scalar (Python float or traced). Returns rho (b, d, d) complex64.
     """
     kind_id = KIND_IDS[kind]
-    b, d = phases.shape
-    B = b * d
+    ry_encode = ry_angles is not None
+    if ry_encode:
+        b = ry_angles.shape[0]
+        d = 2**wires
+        B = b * d
+        c = jnp.cos(ry_angles / 2).astype(jnp.float32)   # (b, w)
+        s = jnp.sin(ry_angles / 2).astype(jnp.float32)
+        # (2w, B): rows 0..w-1 = cos_j per lane, rows w..2w-1 = sin_j
+        cs = jnp.concatenate([c, s], axis=1)             # (b, 2w)
+        er = jnp.repeat(cs.T, d, axis=1).reshape(2 * wires, B)
+        ei = jnp.zeros((1, B), jnp.float32)              # unused
+    else:
+        b, d = phases.shape
+        B = b * d
+        # E[i, (s,c)] = ph[s, i] * conj(ph[s, c])
+        E = phases[:, :, None] * jnp.conj(phases)[:, None, :]   # (b, d, d)
+        planes = jnp.moveaxis(E, 0, 1).reshape(d, B)
+        er = jnp.real(planes).astype(jnp.float32)
+        ei = jnp.imag(planes).astype(jnp.float32)
     n_layers = rot_mats.shape[0] // k
-    # E[i, (s,c)] = ph[s, i] * conj(ph[s, c])
-    E = phases[:, :, None] * jnp.conj(phases)[:, None, :]       # (b, d, d)
-    planes = jnp.moveaxis(E, 0, 1).reshape(d, B)
-    er = jnp.real(planes).astype(jnp.float32)
-    ei = jnp.imag(planes).astype(jnp.float32)
     g8 = jnp.stack([
         jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
         jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
@@ -203,8 +257,9 @@ def dm_reupload_chain_pallas(phases, rot_mats, k: int, wires: int,
     sgn = np.stack([cz_ring_signs(wires, r) for r in ranges])   # (k, d)
     sgr = jnp.asarray(sgn[:, :, None], jnp.float32)             # (k, d, 1)
     sgl = jnp.asarray(np.tile(sgn, (1, b))[:, None, :], jnp.float32)
-    s = jnp.asarray(strength, jnp.float32).reshape(1)
-    kern = functools.partial(_dm_fwd_kernel, k, wires, n_layers, kind_id)
+    s_in = jnp.asarray(strength, jnp.float32).reshape(1)
+    kern = functools.partial(_dm_fwd_kernel, k, wires, n_layers, kind_id,
+                             ry_encode)
     rr, ri = pl.pallas_call(
         kern,
         compiler_params=_SEL_COMPILER_PARAMS,
@@ -225,6 +280,6 @@ def dm_reupload_chain_pallas(phases, rot_mats, k: int, wires: int,
             jax.ShapeDtypeStruct((d, B), jnp.float32),
         ],
         interpret=interpret,
-    )(er, ei, g8, sgr, sgl, s)
+    )(er, ei, g8, sgr, sgl, s_in)
     rho = (rr + 1j * ri).reshape(d, b, d)
     return jnp.moveaxis(rho, 1, 0)

@@ -138,3 +138,26 @@ def test_dm_chain_kernel_traced_strength():
     for i, s in enumerate([0.1, 0.4]):
         want = np.asarray(probs_at(jnp.float32(s)))
         np.testing.assert_allclose(np.asarray(outs)[i], want, atol=1e-6)
+
+
+def test_dm_chain_kernel_ry_encode():
+    """RY re-uploading encode (QIDDM_PL_noise1's circuit) through the
+    fused dm kernel: per-sample RY coefficients on both sides of rho."""
+    from qiddm_tpu import sim
+    from qiddm_tpu.sim import density as dm
+    from qiddm_tpu.sim.gates import rot_matrix
+    from qiddm_tpu.sim.pallas_dm_kernel import dm_reupload_chain_pallas
+
+    wires, L, k, B = 3, 2, 2, 3
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.4, jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(B, wires)), jnp.float32)
+    for kind in ("amplitude_damping", "depolarizing", "phase_damping"):
+        noise = sim.NoiseModel(kind, 0.25, "encode")
+        want = np.asarray(sim.reupload_block(x, w, encode="ry", noise=noise,
+                                             readout="expvalz"))
+        flat = w.reshape(L * k, wires, 3)
+        mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+        rho = dm_reupload_chain_pallas(None, mats, k, wires, kind, 0.25,
+                                       interpret=True, ry_angles=x)
+        got = np.asarray(dm.expval_z(rho))
+        np.testing.assert_allclose(got, want, atol=1e-5)
