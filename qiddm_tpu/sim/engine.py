@@ -288,27 +288,32 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         # Strategy ladder:
         # * batch >= dim: compose each block into one unitary (MXU matmuls,
         #   O(k d^3) amortized over a big batch);
-        # * batch < dim, TPU, CZ ring + RZ encode (every QIDDM/differN
-        #   config): gate-level Pallas kernel — never materializes a
-        #   unitary (O(L k w B d) elementwise work; beats the
-        #   unitary-streaming kernel at every dim, see pallas_kernels.py);
+        # * batch < dim, TPU, CZ ring + RZ/RY encode (every QIDDM/differN
+        #   config incl. QIDDM_PL_noise1): gate-level Pallas kernel — never
+        #   materializes a unitary (O(L k w B d) elementwise work; beats
+        #   the unitary-streaming kernel at every dim, see
+        #   pallas_kernels.py);
         # * otherwise: per-layer unitaries applied by lax.scan.
         compose = batch >= dim
         on_tpu = jax.default_backend() == "tpu"
         use_gate_kernel = (
             not compose and _config.use_pallas() and on_tpu
-            and encode in ("rz", "rz_halfpi") and imprimitive == "cz"
+            and encode in ("rz", "rz_halfpi", "ry") and imprimitive == "cz"
             and cdtype == jnp.complex64  # kernels carry float32 planes
             and wires <= _config.pallas_max_wires()  # Mosaic compile cap
         )
         if use_gate_kernel:
             from .gates import rot_matrix
-            from .pallas_gate_kernel import gate_chain_pallas
+            from .pallas_gate_kernel import gate_chain_pallas, ry_chain_pallas
 
             flat = block_weights.reshape(L * k, wires, 3)
             mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
-            phases = rz_phases(x_enc, wires)
-            states = gate_chain_pallas(phases, mats, k, wires).astype(cdtype)
+            if encode == "ry":
+                states = ry_chain_pallas(x_enc, mats, k, wires).astype(cdtype)
+            else:
+                phases = rz_phases(x_enc, wires)
+                states = gate_chain_pallas(phases, mats, k,
+                                           wires).astype(cdtype)
             if readout == "probs":
                 return probs(states)
             return expval_z(states)

@@ -16,12 +16,14 @@ The backward is a second kernel walking the chain in reverse: states are
 reconstructed through adjoint gates (zero residual memory) and each gate's
 (2, 2) gradient is accumulated from plane inner products.
 
-Two kernels live here: ``gate_chain_pallas`` (the re-uploading chain:
+Three kernels live here: ``gate_chain_pallas`` (the re-uploading chain:
 |0..0> init + per-layer RZ phase encode, CZ rings — the QIDDM/differN
-family) and ``sel_chain_pallas`` (arbitrary initial states, CNOT or CZ
-rings — the Qdense/QNN families). Both cap at
-``config.pallas_max_wires()`` (scoped-VMEM limit, DESIGN.md width
-boundary); wider circuits take the gate-level XLA path in sel.py.
+family), ``ry_chain_pallas`` (the same chain with per-sample RY encoding
+— the QIDDM_PL_noise1 family, reference nn/qdense.py:597-617), and
+``sel_chain_pallas`` (arbitrary initial states, CNOT or CZ rings — the
+Qdense/QNN families). All cap at ``config.pallas_max_wires()``
+(scoped-VMEM limit, DESIGN.md width boundary); wider circuits take the
+gate-level XLA path in sel.py.
 """
 
 from __future__ import annotations
@@ -535,4 +537,205 @@ def gate_chain_pallas(phases, rot_mats, k: int, wires: int,
     pi = jnp.imag(phases).astype(jnp.float32).T
     out_r, out_i = _gate_chain(pr, pi, g8, jnp.asarray(sgn), k, wires,
                                interpret)
+    return (out_r + 1j * out_i).T  # (B, d)
+
+
+# --- RY-encoded re-uploading chain (QIDDM_PL_noise1 family) ----------------
+#
+# The encode is a per-wire RY(x[b, j]) instead of an RZ phase diagonal:
+# real 2x2 rotations whose cos/sin coefficients differ PER SAMPLE. In the
+# transposed (d, B) layout the batch lives on lanes, so the coefficients
+# enter as (1, B) lane-broadcast rows — the same trick the fused dm kernel
+# uses (pallas_dm_kernel._lane_coeff_gate_row).
+
+
+def _ry_apply(sr, si, c, s, j: int, d: int, B: int, w: int):
+    """RY with per-lane real coefficients on wire j of (d, B) planes.
+
+    RY = [[c, -s], [s, c]] applied per sample: rows with wire bit 0 get
+    c*own - s*partner, rows with bit 1 get c*own + s*partner. Passing -s
+    applies the adjoint (RY is real orthogonal)."""
+    bit = 1 << (w - 1 - j)
+    is1 = _wire_mask(j, d, B, w)
+    o_r, o_i = _partner(sr, si, bit, is1)
+    sgn = jnp.where(is1, s, -s)
+    return c * sr + sgn * o_r, c * si + sgn * o_i
+
+
+def _ry_fwd_kernel(k: int, w: int, n_layers: int,
+                   cs_ref, g_ref, sgn_ref, or_ref, oi_ref):
+    d, B = or_ref.shape
+
+    def body(l, carry):
+        sr, si = carry
+
+        def encoded(sr, si):
+            for j in range(w):
+                c = cs_ref[j:j + 1, :]
+                s = cs_ref[w + j:w + j + 1, :]
+                sr, si = _ry_apply(sr, si, c, s, j, d, B, w)
+            return sr, si
+
+        sr, si = jax.lax.cond(l % k == 0, encoded,
+                              lambda a, b: (a, b), sr, si)
+        for j in range(w):
+            sr, si = _gate_apply(sr, si, _read_g8(g_ref, l, j), j, d, B, w)
+        sg = _select_signs(sgn_ref, l, k)
+        return sr * sg, si * sg
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, B), 0)
+    sr = jnp.where(row == 0, 1.0, 0.0).astype(jnp.float32)
+    si = jnp.zeros((d, B), jnp.float32)
+    sr, si = jax.lax.fori_loop(0, n_layers, body, (sr, si))
+    or_ref[:] = sr
+    oi_ref[:] = si
+
+
+def _ry_bwd_kernel(k: int, w: int, n_layers: int,
+                   cs_ref, g_ref, sgn_ref, fr_ref, fi_ref,
+                   gr_ref, gi_ref, dg_ref, dcs_ref):
+    """Reverse walk (adjoint-gate state reconstruction, zero residuals).
+
+    Encode gradients: for n = c*v_own + sign*s*v_partner per row,
+    dc[b] = sum_rows(ct . v_own) and ds[b] = sum_rows(sign * ct . v_partner)
+    — lane-wise sublane reductions accumulated across the L re-uploads into
+    a (2w, B) carry plane (rows 0..w-1 = dcos_j, w..2w-1 = dsin_j)."""
+    d, B = fr_ref.shape
+
+    def body(i, carry):
+        sr, si, cr, ci, dcs = carry
+        l = n_layers - 1 - i
+        sg = _select_signs(sgn_ref, l, k)
+        sr, si = sr * sg, si * sg      # CZ is self-inverse
+        cr, ci = cr * sg, ci * sg
+        for j in range(w - 1, -1, -1):
+            adj = _adjoint(_read_g8(g_ref, l, j))
+            sr, si = _gate_apply(sr, si, adj, j, d, B, w)   # input state
+            dg_ref[pl.ds(l, 1), j, :] = _plane_dg(
+                cr, ci, sr, si, j, d, B, w).reshape(1, 8)
+            cr, ci = _gate_apply(cr, ci, adj, j, d, B, w)   # cotangent
+
+        def unencode(args):
+            sr, si, cr, ci, dcs = args
+            # RYs on distinct wires commute; walk j high->low anyway so the
+            # cotangent at each gate's output is exact.
+            for j in range(w - 1, -1, -1):
+                c = cs_ref[j:j + 1, :]
+                s = cs_ref[w + j:w + j + 1, :]
+                sr, si = _ry_apply(sr, si, c, -s, j, d, B, w)  # input state
+                bit = 1 << (w - 1 - j)
+                is1 = _wire_mask(j, d, B, w)
+                o_r, o_i = _partner(sr, si, bit, is1)
+                dc = jnp.sum(cr * sr + ci * si, axis=0, keepdims=True)
+                psn = jnp.where(is1, 1.0, -1.0)
+                ds = jnp.sum(psn * (cr * o_r + ci * o_i),
+                             axis=0, keepdims=True)
+                dcs = dcs.at[j:j + 1, :].add(dc)
+                dcs = dcs.at[w + j:w + j + 1, :].add(ds)
+                cr, ci = _ry_apply(cr, ci, c, -s, j, d, B, w)
+            return sr, si, cr, ci, dcs
+
+        return jax.lax.cond(l % k == 0, unencode, lambda a: a,
+                            (sr, si, cr, ci, dcs))
+
+    zeros = jnp.zeros(dcs_ref.shape, jnp.float32)
+    carry = (fr_ref[:], fi_ref[:], gr_ref[:], gi_ref[:], zeros)
+    _, _, _, _, dcs = jax.lax.fori_loop(0, n_layers, body, carry)
+    dcs_ref[:] = dcs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ry_chain(cs, g8, signs, k: int, w: int, interpret: bool):
+    return _ry_chain_fwd_call(cs, g8, signs, k, w, interpret)
+
+
+def _ry_chain_fwd_call(cs, g8, signs, k, w, interpret):
+    d = 2**w
+    B = cs.shape[1]
+    n_layers = g8.shape[0]
+    kern = functools.partial(_ry_fwd_kernel, k, w, n_layers)
+    return pl.pallas_call(
+        kern,
+        compiler_params=_SEL_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cs, g8, signs)
+
+
+def _ry_chain_fwd(cs, g8, signs, k, w, interpret):
+    out = _ry_chain_fwd_call(cs, g8, signs, k, w, interpret)
+    return out, (cs, g8, signs, out[0], out[1])
+
+
+def _ry_chain_bwd(k, w, interpret, res, g):
+    cs, g8, signs, fr, fi = res
+    gr, gi = g
+    d, B = fr.shape
+    n_layers = g8.shape[0]
+    kern = functools.partial(_ry_bwd_kernel, k, w, n_layers)
+    dg, dcs = pl.pallas_call(
+        kern,
+        compiler_params=_SEL_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_layers, w, 8), jnp.float32),
+            jax.ShapeDtypeStruct((2 * w, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cs, g8, signs, fr, fi, gr, gi)
+    return dcs, dg, None
+
+
+_ry_chain.defvjp(_ry_chain_fwd, _ry_chain_bwd)
+
+
+def ry_chain_pallas(angles, rot_mats, k: int, wires: int,
+                    interpret: bool = False):
+    """Fused RY-encoded re-uploading chain (QIDDM_PL_noise1 family).
+
+    Same chain as :func:`gate_chain_pallas` but the per-layer encode is a
+    per-wire RY(angles[b, j]) product (reference nn/qdense.py:597-617)
+    instead of an RZ phase diagonal. angles: (B, wires) real; rot_mats:
+    (n_layers, wires, 2, 2) complex. Returns (B, d) complex states.
+    Differentiable in both inputs (the custom VJP returns cos/sin-plane
+    gradients; autodiff chains them through the cos/sin below back to the
+    angles, i.e. through any down-projection).
+    """
+    n_layers = rot_mats.shape[0]
+    ranges = sel_ranges(k, wires)
+    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
+                    for li in range(k)]).astype(np.float32)
+    g8 = jnp.stack([
+        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
+        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
+        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
+        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
+    ], axis=-1).astype(jnp.float32)  # (n_layers, wires, 8)
+    half = (0.5 * angles).astype(jnp.float32).T      # (w, B)
+    cs = jnp.concatenate([jnp.cos(half), jnp.sin(half)], axis=0)  # (2w, B)
+    out_r, out_i = _ry_chain(cs, g8, jnp.asarray(sgn), k, wires, interpret)
     return (out_r + 1j * out_i).T  # (B, d)

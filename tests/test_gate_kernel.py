@@ -101,6 +101,68 @@ def test_sel_chain_kernel_gradients_match(imprimitive):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_ry_chain_kernel_forward_matches_engine():
+    from qiddm_tpu.sim.pallas_gate_kernel import ry_chain_pallas
+
+    wq, xe, B, w, L, k = _params()
+    want = np.asarray(sim.reupload_block(xe, wq, encode="ry",
+                                         imprimitive="cz",
+                                         readout="expvalz"))
+    flat = wq.reshape(L * k, w, 3)
+    mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+    st = ry_chain_pallas(xe, mats, k, w, interpret=True)
+    from qiddm_tpu.sim.statevector import expval_z
+
+    got = np.asarray(expval_z(st))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ry_chain_kernel_gradients_match_engine():
+    from qiddm_tpu.sim.pallas_gate_kernel import ry_chain_pallas
+
+    wq, xe, B, w, L, k = _params(B=5, w=3, L=3, k=2)
+    coeff = jnp.asarray(RNG.normal(size=(B, 2**w)), jnp.float32)
+
+    def loss_kernel(wq, xe):
+        flat = wq.reshape(L * k, w, 3)
+        mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+        st = ry_chain_pallas(xe, mats, k, w, interpret=True)
+        return jnp.sum(coeff * (jnp.real(st) ** 2 + jnp.imag(st) ** 2))
+
+    def loss_engine(wq, xe):
+        return jnp.sum(coeff * sim.reupload_block(xe, wq, encode="ry",
+                                                  imprimitive="cz",
+                                                  readout="probs"))
+
+    g1 = jax.grad(loss_engine, argnums=(0, 1))(wq, xe)
+    g2 = jax.grad(loss_kernel, argnums=(0, 1))(wq, xe)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               atol=3e-5)
+
+
+def test_ry_chain_kernel_under_vmap():
+    """Outer-vmap parity (label-stacked programs batch the kernel via
+    pallas' default batching rule — pin that it stays correct)."""
+    from qiddm_tpu.sim.pallas_gate_kernel import ry_chain_pallas
+
+    wq, xe, B, w, L, k = _params(B=4, w=3, L=2, k=2)
+    wq2 = jnp.stack([wq, wq * 0.5])
+    xe2 = jnp.stack([xe, xe + 0.3])
+
+    def one(wq, xe):
+        flat = wq.reshape(L * k, w, 3)
+        mats = rot_matrix(flat[..., 0], flat[..., 1], flat[..., 2])
+        return ry_chain_pallas(xe, mats, k, w, interpret=True)
+
+    got = jax.vmap(one)(wq2, xe2)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(got[i]),
+                                   np.asarray(one(wq2[i], xe2[i])),
+                                   atol=1e-5)
+
+
 def test_gate_kernel_k3():
     wq, xe, B, w, L, k = _params(w=3, L=2, k=3)
     want = np.asarray(sim.reupload_block(xe, wq, imprimitive="cz",
