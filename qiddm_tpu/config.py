@@ -28,10 +28,36 @@ _X64 = False
 # program). Enabled by default; point QIDDM_XLA_CACHE_DIR elsewhere or set it
 # empty to disable.
 
+def _host_cpu_fingerprint() -> str:
+    """Short tag for THIS host's CPU capabilities.
+
+    XLA:CPU cache entries embed AOT code compiled for the build host's
+    exact feature set (AVX-512/AMX/...); loading them on a lesser host is
+    rejected at best ("cpu_aot_loader ... could lead to execution errors
+    such as SIGILL" — observed when a shared home dir crossed machines).
+    Keying the default cache dir on the feature set keeps entries
+    host-compatible while still sharing across sessions on the same host.
+    """
+    import hashlib
+    import platform
+
+    desc = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    desc += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(desc.encode()).hexdigest()[:8]
+
+
 def _setup_compilation_cache() -> None:
-    cache_dir = os.environ.get(
-        "QIDDM_XLA_CACHE_DIR",
-        str(pathlib.Path.home() / ".cache" / "qiddm_tpu" / "xla"))
+    cache_dir = os.environ.get("QIDDM_XLA_CACHE_DIR")
+    if cache_dir is None:
+        cache_dir = str(pathlib.Path.home() / ".cache" / "qiddm_tpu"
+                        / f"xla-{_host_cpu_fingerprint()}")
     if not cache_dir:
         return
     try:

@@ -374,6 +374,14 @@ print("CACHEDIR=" + str(jax.config.jax_compilation_cache_dir))
                          capture_output=True, text=True, check=True)
     assert "CACHEDIR=None" in out.stdout
 
+    # default (no env var): keyed by host-CPU fingerprint so XLA:CPU AOT
+    # entries never cross incompatible machines (SIGILL risk on load)
+    env.pop("QIDDM_XLA_CACHE_DIR")
+    out = subprocess.run([sys.executable, "-c", prog], env=env,
+                         capture_output=True, text=True, check=True)
+    from qiddm_tpu.config import _host_cpu_fingerprint
+    assert f"xla-{_host_cpu_fingerprint()}" in out.stdout
+
 
 def test_deterministic_lowering_flag():
     """Importing qiddm_tpu turns off full tracebacks in MLIR locations:
