@@ -195,7 +195,8 @@ def augment_rotation(x_train, y_train, height, width, target_size: int,
             np.concatenate([y_train, np.asarray(extra_y)]))
 
 
-def with_noise(net, add_noise: int, noise_intensity: Optional[float] = None):
+def with_noise(net, add_noise: int, noise_intensity: Optional[float] = None,
+               noise_trajectories: int = 0):
     """Return a shim sharing ``net``'s trained variables but with hardware
     noise injected into the circuit — the functional replacement for the
     reference's test-time device swap to ``default.mixed``
@@ -205,13 +206,19 @@ def with_noise(net, add_noise: int, noise_intensity: Optional[float] = None):
     variables collection (nn/core.py::_resolve_noise), so sweeping the
     intensity is a VARIABLE swap — callers may vmap/trace over
     ``variables["noise_cfg"]["intensity"]`` with one compiled program per
-    (model, channel kind)."""
+    (model, channel kind).
+
+    ``noise_trajectories > 0`` selects the Monte-Carlo trajectory backend
+    (sim/trajectories.py) instead of the density matrix — sampling then
+    needs ``Diffusion.sample(..., traj_rng=key)``."""
     fields = {f.name for f in dataclasses.fields(net.module)}
     if "add_noise" not in fields:
         return net
     kw = {"add_noise": add_noise}
     if "noise_intensity" in fields:
         kw["noise_intensity"] = noise_intensity
+    if "noise_trajectories" in fields and noise_trajectories:
+        kw["noise_trajectories"] = noise_trajectories
     new_module = dataclasses.replace(net.module, **kw)
     clone = object.__new__(type(net))
     clone.__dict__.update(net.__dict__)

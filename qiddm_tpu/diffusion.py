@@ -201,7 +201,7 @@ class Diffusion:
         return run
 
     def _denoise_scan(self, variables, first_x, n_iters: int,
-                      noise_factor: float, mesh=None):
+                      noise_factor: float, mesh=None, traj_rng=None):
         """The iterative denoise loop shared by every sampling entry point
         (reference src/models.py:124-136): data goal replaces x with the
         prediction; noise goal subtracts the scaled prediction and clips.
@@ -212,9 +212,14 @@ class Diffusion:
         net = self.net
         from .parallel.mesh import dp_constraint  # no-op when mesh is None
 
-        def body(x, _):
+        def body(x, i):
             x = dp_constraint(x, mesh)
-            pred = net.module.apply(variables, x, train=False, mutable=False)
+            # trajectory noise backend (net.noise_trajectories > 0): a
+            # fresh "trajectories" rng stream per denoise iteration
+            rngs = (None if traj_rng is None
+                    else {"trajectories": jax.random.fold_in(traj_rng, i)})
+            pred = net.module.apply(variables, x, train=False,
+                                    mutable=False, rngs=rngs)
             if goal == "data":
                 new_x = pred
             else:
@@ -222,18 +227,20 @@ class Diffusion:
                                  0.0, 1.0)
             return new_x, new_x
 
-        return jax.lax.scan(body, first_x, None, length=n_iters)
+        return jax.lax.scan(body, first_x, jnp.arange(n_iters))
 
     def sample_fn(self, variables, first_x, n_iters: int, *,
                   only_last: bool = False, step: int = 1,
-                  noise_factor: float = 1.0, mesh=None):
+                  noise_factor: float = 1.0, mesh=None, traj_rng=None):
         """Iterative denoising as one ``lax.scan`` (src/models.py:106-147).
 
         first_x: (b, 1, w, h). Returns either the last image (only_last) or
-        the reference's stacked grid ``(iters*h, b*w)``.
+        the reference's stacked grid ``(iters*h, b*w)``. ``traj_rng`` seeds
+        the trajectory noise backend when the net uses it.
         """
         last, xs = self._denoise_scan(variables, first_x, n_iters,
-                                      noise_factor, mesh=mesh)
+                                      noise_factor, mesh=mesh,
+                                      traj_rng=traj_rng)
         if only_last:
             return last
         kept = xs[::step] if step > 1 else xs
@@ -242,11 +249,12 @@ class Diffusion:
                                "(iters height) (batch width)")
 
     def sample_stack_fn(self, variables, first_x, n_iters: int, *,
-                        noise_factor: float = 1.0):
+                        noise_factor: float = 1.0, traj_rng=None):
         """Like ``sample_fn`` but returns the raw (iters+1, b, 1, h, w) stack
         (metric/sweep-friendly; the reference reshapes its grid back to this
         layout before scoring, src/mnist_exm.py:221-224)."""
-        _, xs = self._denoise_scan(variables, first_x, n_iters, noise_factor)
+        _, xs = self._denoise_scan(variables, first_x, n_iters, noise_factor,
+                                   traj_rng=traj_rng)
         return jnp.concatenate([first_x[None], xs], axis=0)
 
     # --- torch-like dispatch ------------------------------------------------
@@ -329,7 +337,7 @@ class Diffusion:
 
     def sample(self, n_iters, first_x=None, labels=None, show_progress=False,
                only_last=False, step=1, noise_factor=1.0, key=None,
-               mesh=None):
+               mesh=None, traj_rng=None):
         if first_x is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             first_x = jax.random.uniform(
@@ -338,7 +346,7 @@ class Diffusion:
         # jit(partial(...)) every call would recompile every time
         # (jax.sharding.Mesh hashes by device grid + axis names)
         cfg = (int(n_iters), bool(only_last), int(step), float(noise_factor),
-               mesh)
+               mesh, traj_rng is not None)
         cache = getattr(self, "_sample_cache", None)
         if cache is None:
             cache = self._sample_cache = {}
@@ -346,4 +354,7 @@ class Diffusion:
             cache[cfg] = jax.jit(functools.partial(
                 self.sample_fn, n_iters=cfg[0], only_last=cfg[1],
                 step=cfg[2], noise_factor=cfg[3], mesh=mesh))
+        if traj_rng is not None:
+            return cache[cfg](self.net.variables, jnp.asarray(first_x),
+                              traj_rng=traj_rng)
         return cache[cfg](self.net.variables, jnp.asarray(first_x))

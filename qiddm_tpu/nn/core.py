@@ -43,6 +43,20 @@ def _resolve_noise(mod, family: str):
     return engine.noise_from_code(mod.add_noise, family, intensity)
 
 
+def _traj_kwargs(mod, noise) -> dict:
+    """Engine kwargs for the Monte-Carlo trajectory noise backend.
+
+    ``noise_trajectories > 0`` estimates non-unitary channels with
+    ``n_traj`` statevector trajectories instead of the density matrix
+    (sim/trajectories.py) — the noisy route past ``density.MAX_DM_WIRES``.
+    Callers must then provide a ``"trajectories"`` rng stream to
+    ``apply`` (each engine call folds a fresh key)."""
+    if mod.noise_trajectories and noise is not None and not noise.is_unitary:
+        return {"n_traj": mod.noise_trajectories,
+                "traj_key": mod.make_rng("trajectories")}
+    return {}
+
+
 class QDense(nn.Module):
     """Amplitude-embedded dense variational circuit (Qdense baseline).
 
@@ -56,6 +70,7 @@ class QDense(nn.Module):
     weight_map: str = "qw_tanh"   # _old uses qw_map.tanh; _noise uses torch.tanh
     add_noise: int = 0
     noise_intensity: Optional[float] = None
+    noise_trajectories: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -67,6 +82,7 @@ class QDense(nn.Module):
         p = engine.qdense_circuit(
             flatten_img(x), w, wires=wires, pad_with=0.1,
             weight_map=self.weight_map, imprimitive="cnot", noise=noise,
+            **_traj_kwargs(self, noise),
         )
         return unflatten_img(postprocess_probs(p, pixels), width, height)
 
@@ -83,6 +99,7 @@ class QNNA(nn.Module):
     shape: Tuple[int, int]
     add_noise: int = 0
     noise_intensity: Optional[float] = None
+    noise_trajectories: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -93,7 +110,8 @@ class QNNA(nn.Module):
         w = self.param("qweights", qweight_init(), (self.qdepth, wires, 3))
         noise = _resolve_noise(self, "qnn_a")
         p = engine.qnn_circuit(h, w, encode="ry", imprimitive="cnot",
-                               noise=noise, readout="probs")
+                               noise=noise, readout="probs",
+                               **_traj_kwargs(self, noise))
         return unflatten_img(postprocess_probs(p, pixels), width, height)
 
 
@@ -110,6 +128,7 @@ class QNNDense(nn.Module):
     qdepth: int
     add_noise: int = 0
     noise_intensity: Optional[float] = None
+    noise_trajectories: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,7 +138,8 @@ class QNNDense(nn.Module):
                        (self.qdepth, self.hidden_features, 3))
         noise = _resolve_noise(self, "qnn")
         q = engine.qnn_circuit(h, w, encode="rz", imprimitive="cz",
-                               noise=noise, readout="expvalz")
+                               noise=noise, readout="expvalz",
+                               **_traj_kwargs(self, noise))
         out = TorchDense(self.input_dim, name="linear_up")(q)
         return out.reshape(b, c, width, height)
 
@@ -152,6 +172,7 @@ class Reupload(nn.Module):
     add_noise: int = 0
     noise_family: str = "qiddm"
     noise_intensity: Optional[float] = None
+    noise_trajectories: int = 0
     pca_lazy: bool = False         # QIDDM_PP_old fits PCA once, lazily
 
     def _img_shape(self, x):
@@ -219,6 +240,7 @@ class Reupload(nn.Module):
             out = engine.reupload_block(
                 enc, blocks[n], encode=self.encode, imprimitive="cz",
                 noise=noise, readout=self.readout,
+                **_traj_kwargs(self, noise),
             )
             if self.readout == "probs" and self.post_each_block:
                 out = postprocess_probs(out, pixels)

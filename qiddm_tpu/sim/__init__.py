@@ -14,6 +14,12 @@ from .engine import (  # noqa: F401
     reupload_block,
 )
 from .gates import qw_tanh, rot_matrix, ry_matrix, rz_matrix  # noqa: F401
+from .trajectories import (  # noqa: F401
+    apply_channel_trajectory,
+    qdense_circuit_trajectories,
+    qnn_circuit_trajectories,
+    reupload_block_trajectories,
+)
 from .sel import sel_apply_direct, sel_ranges, sel_unitary  # noqa: F401
 from .statevector import (  # noqa: F401
     amplitude_embed,

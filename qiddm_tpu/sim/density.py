@@ -34,15 +34,17 @@ def from_statevector(states):
         raise ValueError(
             f"density-matrix mode capped at {MAX_DM_WIRES} wires "
             f"(rho would be {4**wires} complex amplitudes per sample); "
-            f"got {wires}")
+            f"got {wires} — use the Monte-Carlo trajectory backend "
+            f"(sim/trajectories.py, n_traj=...) for wide noisy circuits")
     return states[:, :, None] * jnp.conj(states)[:, None, :]
 
 
 def zero_density(batch: int, wires: int, dtype=jnp.complex64):
     if wires > MAX_DM_WIRES:
         raise ValueError(
-            f"density-matrix mode capped at {MAX_DM_WIRES} wires, got {wires}"
-        )
+            f"density-matrix mode capped at {MAX_DM_WIRES} wires, got "
+            f"{wires} — use the Monte-Carlo trajectory backend "
+            f"(sim/trajectories.py, n_traj=...) for wide noisy circuits")
     dim = 2**wires
     rho = jnp.zeros((batch, dim, dim), dtype=dtype)
     return rho.at[:, 0, 0].set(1.0)

@@ -183,11 +183,17 @@ def _sel_small_batch(states, w, imprimitive: str, cdtype):
 
 def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
                    weight_map: str = "qw_tanh", imprimitive: str = "cnot",
-                   noise: Optional[NoiseModel] = None, cdtype=None):
+                   noise: Optional[NoiseModel] = None, cdtype=None,
+                   n_traj: int = 0, traj_key=None):
     """AmplitudeEmbedding -> SEL -> (noise) -> probs.
 
     x: (batch, n_features); weights: (depth, wires, 3). Returns (batch, 2**w)
     probabilities. Reference: nn/qdense.py:40-47 / :95-105.
+
+    ``n_traj > 0`` (with ``traj_key``) estimates the channel with the
+    Monte-Carlo trajectory backend instead of the density matrix —
+    O(n_traj 2^w) instead of O(4^w), the noisy route past
+    ``density.MAX_DM_WIRES`` (sim/trajectories.py).
     """
     if cdtype is None:
         from .. import config as _cfg
@@ -197,6 +203,13 @@ def qdense_circuit(x, weights, *, wires: int, pad_with: float = 0.1,
         raise ValueError(
             f"{x.shape[-1]} features do not fit in {wires} wires"
         )
+    if n_traj and _needs_dm(noise):
+        from .trajectories import qdense_circuit_trajectories
+
+        return qdense_circuit_trajectories(
+            x, weights, key=traj_key, n_traj=n_traj, noise=noise,
+            wires=wires, pad_with=pad_with, weight_map=weight_map,
+            imprimitive=imprimitive, cdtype=cdtype)
     w = WEIGHT_MAPS[weight_map](weights)
     states = amplitude_embed(x, wires, pad_with=pad_with, dtype=cdtype)
     if x.shape[0] >= 2**wires:
@@ -236,7 +249,7 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
                    imprimitive: str = "cz",
                    noise: Optional[NoiseModel] = None,
                    readout: str = "probs", cdtype=None, mesh=None,
-                   mesh_axis: str = "data"):
+                   mesh_axis: str = "data", n_traj: int = 0, traj_key=None):
     """One N-block: L x (encode -> SEL(k)) -> readout.
 
     x_enc: (batch, wires) encoding angles (re-uploaded in every spectrum
@@ -282,6 +295,18 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             dtype=cdtype)
 
     x_enc = _encode_angles(x_enc, encode, noise)
+
+    if n_traj and _needs_dm(noise):
+        # Monte-Carlo trajectory backend: O(n_traj 2^w) channel estimation
+        # on statevectors — the noisy route past density.MAX_DM_WIRES
+        # (sim/trajectories.py). x_enc already carries halfpi/rot-angle
+        # transforms, so rz vs rz_halfpi is immaterial past this point.
+        from .trajectories import reupload_block_trajectories
+
+        return reupload_block_trajectories(
+            x_enc, block_weights, key=traj_key, n_traj=n_traj, noise=noise,
+            encode=encode, imprimitive=imprimitive, readout=readout,
+            cdtype=cdtype)
 
     if not _needs_dm(noise):
 
@@ -501,7 +526,8 @@ def _apply_1q_batched_unitary(rho, gate, wire: int, wires: int):
 
 def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
                 weight_map: str = "none", noise: Optional[NoiseModel] = None,
-                readout: str = "expvalz", cdtype=None):
+                readout: str = "expvalz", cdtype=None,
+                n_traj: int = 0, traj_key=None):
     """Single encode -> SEL(depth) -> readout.
 
     x: (batch, wires); weights: (depth, wires, 3).
@@ -518,6 +544,14 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
     wires = x.shape[-1]
     w = WEIGHT_MAPS[weight_map](weights)
     x = _encode_angles(x, encode, noise)
+
+    if n_traj and _needs_dm(noise):
+        from .trajectories import qnn_circuit_trajectories
+
+        return qnn_circuit_trajectories(
+            x, weights, key=traj_key, n_traj=n_traj, noise=noise,
+            encode=encode, imprimitive=imprimitive, weight_map=weight_map,
+            readout=readout, cdtype=cdtype)
 
     if not _needs_dm(noise):
         if encode == "ry":

@@ -1,0 +1,247 @@
+"""Monte-Carlo trajectory (Kraus-unraveling) noise backend.
+
+The density-matrix backend simulates channels exactly but costs O(4^w)
+memory/compute per sample (``density.MAX_DM_WIRES = 12`` caps it). This
+module simulates the SAME per-wire channels on statevectors by stochastic
+unraveling: each trajectory samples one Kraus branch per (sample,
+application point, wire) and the readout is averaged over ``n_traj``
+trajectories — O(n_traj · 2^w) work that rides the statevector engine's
+batched paths, so noisy circuits scale to every wire count the clean
+engine reaches. The reference has no such mode at all (its noise sweeps
+run on PennyLane ``default.mixed``, reference src/mnist_noise.py:214-230,
+and inherit its density-matrix ceiling).
+
+Unravelings per channel kind (conventions: ``channels.py``):
+
+* ``phase_damping(g)`` — EXACT random-unitary (Pauli) form: the channel
+  equals ``rho -> (1-q) rho + q Z rho Z`` with ``q = (1 - sqrt(1-g))/2``
+  (both leave populations fixed and scale coherences by ``sqrt(1-g)``),
+  so a trajectory applies Z with probability q. Norm-preserving, no
+  renormalization.
+* ``depolarizing(p)`` — EXACT Pauli mixture: I/X/Y/Z with probabilities
+  ``(1-p, p/3, p/3, p/3)``.
+* ``amplitude_damping(g)`` — not a random-unitary channel: norm-weighted
+  Kraus sampling. ``K1 = sqrt(g)|0><1|`` fires with probability
+  ``p1 = g * P(wire = 1)`` (``K1^+ K1 = g |1><1|``), else
+  ``K0 = diag(1, sqrt(1-g))``; the chosen branch is divided by
+  ``sqrt(p_branch)`` so the state stays normalized.
+
+Unitary kinds (``phase_shift``, ``rot_angle``) never reach this module —
+the engine keeps them on the clean statevector path (they commute with
+probs/Z readouts or perturb only encode angles).
+
+TPU shape strategy: trajectories are FLATTENED into the batch axis
+(``(n_traj * batch, 2^w)`` states), not vmapped — the SEL layer unitaries
+are shared across trajectories, so the entangler stays one big MXU matmul
+while only the channel sampling is per-(trajectory, sample) elementwise
+work. Wide circuits (> 10 wires) switch to the gate-level SEL route like
+the engine's clean path.
+
+Statistics: readouts are means of per-trajectory probs/Z-expectations;
+the estimator is unbiased with per-entry std ~ 1/sqrt(n_traj)
+(tests/test_trajectories.py pins convergence against the dm backend).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as _config
+from .gates import I2, X, Y, Z
+from .sel import sel_apply_gates, sel_layer_unitaries
+from .statevector import (
+    amplitude_embed,
+    apply_1q,
+    apply_ry_all,
+    apply_unitary,
+    bit_table,
+    expval_z,
+    probs,
+    ry_product_state,
+    rz_phases,
+    zero_state,
+)
+
+_PAULI_KINDS = ("phase_damping", "depolarizing")
+
+
+def _pauli_mixture(kind: str, strength):
+    """(probabilities (m,), unitaries (m, 2, 2)) for random-unitary kinds.
+
+    Probabilities are smooth in ``strength`` (traced strengths sweep in
+    one program, like the dm closed forms)."""
+    if kind == "phase_damping":
+        q = 0.5 * (1.0 - jnp.sqrt(1.0 - strength))
+        p = jnp.stack([1.0 - q, q])
+        mats = np.stack([I2, Z])
+    elif kind == "depolarizing":
+        s = strength / 3.0
+        p = jnp.stack([1.0 - strength, s, s, s])
+        mats = np.stack([I2, X, Y, Z])
+    else:
+        raise ValueError(f"{kind!r} has no random-unitary unraveling")
+    return p, mats
+
+
+def wire_one_prob(states, wire: int):
+    """P(wire = 1) per state: (batch,) real."""
+    wires = int(math.log2(states.shape[-1]))
+    bits = jnp.asarray(bit_table(wires)[:, wire], probs(states).dtype)
+    return jnp.matmul(probs(states), bits,
+                      precision=_config.matmul_precision())
+
+
+def apply_channel_trajectory(states, kind: str, strength, key):
+    """One stochastic realization of the per-wire channel on ALL wires.
+
+    states: (batch, 2^w) complex; returns same shape, norm preserved.
+    Branch indices are sampled independently per (sample, wire).
+    """
+    wires = int(math.log2(states.shape[-1]))
+    b = states.shape[0]
+    cdtype = states.dtype
+    if kind in _PAULI_KINDS:
+        p, mats = _pauli_mixture(kind, strength)
+        logits = jnp.log(jnp.maximum(p, 1e-30))
+        mats = jnp.asarray(mats, cdtype)
+        idx = jax.random.categorical(key, logits, shape=(wires, b))
+        for j in range(wires):
+            states = apply_1q(states, mats[idx[j]], j, wires)
+        return states
+    if kind == "amplitude_damping":
+        g = strength
+        u = jax.random.uniform(key, (wires, b))
+        k0 = jnp.asarray(
+            np.array([[1.0, 0.0], [0.0, 0.0]]), cdtype
+        ) + jnp.sqrt(1.0 - g).astype(cdtype) * jnp.asarray(
+            np.array([[0.0, 0.0], [0.0, 1.0]]), cdtype)
+        k1 = jnp.sqrt(g).astype(cdtype) * jnp.asarray(
+            np.array([[0.0, 1.0], [0.0, 0.0]]), cdtype)
+        for j in range(wires):
+            p1 = g * wire_one_prob(states, j)                  # (b,)
+            pick1 = u[j] < p1
+            # renormalize inside the branch gate: K_i / sqrt(p_i)
+            inv0 = jax.lax.rsqrt(jnp.maximum(1.0 - p1, 1e-30))
+            inv1 = jax.lax.rsqrt(jnp.maximum(p1, 1e-30))
+            scale = jnp.where(pick1, inv1, inv0).astype(cdtype)
+            gate = jnp.where(pick1[:, None, None], k1[None], k0[None])
+            states = apply_1q(states, gate * scale[:, None, None], j, wires)
+        return states
+    raise ValueError(f"no trajectory unraveling for channel {kind!r}")
+
+
+def _tile_traj(x, n_traj: int):
+    return jnp.tile(x, (n_traj,) + (1,) * (x.ndim - 1))
+
+
+def _mean_over_traj(out, n_traj: int):
+    return out.reshape((n_traj, -1) + out.shape[1:]).mean(axis=0)
+
+
+def _sel_chain(states, w, imprimitive: str, cdtype):
+    """SEL application for the trajectory-expanded batch: shared per-layer
+    unitaries (one MXU matmul per layer, amortized over all trajectories)
+    up to 10 wires, gate-level beyond (the engine's wide-route trade,
+    engine.py strategy ladder)."""
+    wires = w.shape[1]
+    if wires <= 10:
+        lus = sel_layer_unitaries(w[None],
+                                  imprimitive=imprimitive)[0].astype(cdtype)
+
+        def body(s, u):
+            return apply_unitary(s, u), None
+
+        states, _ = jax.lax.scan(body, states, lus)
+        return states
+    return sel_apply_gates(states, w, imprimitive=imprimitive)
+
+
+def reupload_block_trajectories(x_enc, block_weights, *, key, n_traj: int,
+                                noise, encode: str = "rz",
+                                imprimitive: str = "cz",
+                                readout: str = "probs", cdtype=None):
+    """Trajectory estimate of the dm re-uploading block.
+
+    Matches ``engine.reupload_block``'s density-matrix path in expectation
+    (L x [encode -> channel -> SEL(k, CZ)], noise placement "encode" —
+    reference nn/qdense.py:1403-1421). x_enc must already carry any
+    halfpi/rot-angle transforms (the engine applies them before routing).
+
+    x_enc: (batch, wires); block_weights: (L, k, wires, 3); key: PRNGKey.
+    Returns (batch, 2^w) probs or (batch, wires) Z-expectations.
+    """
+    if cdtype is None:
+        cdtype = _config.complex_dtype()
+    L, k, wires, _ = block_weights.shape
+    batch = x_enc.shape[0]
+    xT = _tile_traj(x_enc, n_traj)
+    states = zero_state(n_traj * batch, wires, dtype=cdtype)
+    phases = rz_phases(xT, wires) if encode in ("rz", "rz_halfpi") else None
+    keys = jax.random.split(key, L)
+
+    # Python loop over L (static, <= ~15 in every reference config): the
+    # per-layer unitaries differ so there is no scan-carry win, and the
+    # channel sampling needs a distinct fold of the key per layer.
+    for l in range(L):
+        states = (states * phases if phases is not None
+                  else apply_ry_all(states, xT))
+        states = apply_channel_trajectory(states, noise.kind,
+                                          noise.strength, keys[l])
+        states = _sel_chain(states, block_weights[l], imprimitive, cdtype)
+    out = probs(states) if readout == "probs" else expval_z(states)
+    return _mean_over_traj(out, n_traj)
+
+
+def qdense_circuit_trajectories(x, weights, *, key, n_traj: int, noise,
+                                wires: int, pad_with: float = 0.1,
+                                weight_map: str = "qw_tanh",
+                                imprimitive: str = "cnot", cdtype=None):
+    """Trajectory estimate of the qdense dm path: AmplitudeEmbedding ->
+    SEL -> channel at END -> mean probs (reference nn/qdense.py:95-105)."""
+    from .gates import WEIGHT_MAPS
+
+    if cdtype is None:
+        cdtype = _config.complex_dtype()
+    w = WEIGHT_MAPS[weight_map](weights)
+    states = amplitude_embed(_tile_traj(x, n_traj), wires,
+                             pad_with=pad_with, dtype=cdtype)
+    states = _sel_chain(states, w, imprimitive, cdtype)
+    states = apply_channel_trajectory(states, noise.kind, noise.strength,
+                                      key)
+    return _mean_over_traj(probs(states), n_traj)
+
+
+def qnn_circuit_trajectories(x, weights, *, key, n_traj: int, noise,
+                             encode: str = "rz", imprimitive: str = "cz",
+                             weight_map: str = "none",
+                             readout: str = "expvalz", cdtype=None):
+    """Trajectory estimate of the qnn dm path: single encode -> (channel
+    if placement 'encode') -> SEL -> (channel if 'end') -> mean readout
+    (reference nn/qdense.py:249-265 / :162-183)."""
+    from .gates import WEIGHT_MAPS
+
+    if cdtype is None:
+        cdtype = _config.complex_dtype()
+    wires = x.shape[-1]
+    w = WEIGHT_MAPS[weight_map](weights)
+    xT = _tile_traj(x, n_traj)
+    if encode == "ry":
+        states = ry_product_state(xT, wires, dtype=cdtype)
+    else:
+        states = zero_state(xT.shape[0], wires, dtype=cdtype) * rz_phases(
+            xT, wires)
+    k_enc, k_end = jax.random.split(key)
+    if noise.placement == "encode":
+        states = apply_channel_trajectory(states, noise.kind,
+                                          noise.strength, k_enc)
+    states = _sel_chain(states, w, imprimitive, cdtype)
+    if noise.placement == "end":
+        states = apply_channel_trajectory(states, noise.kind,
+                                          noise.strength, k_end)
+    out = probs(states) if readout == "probs" else expval_z(states)
+    return _mean_over_traj(out, n_traj)

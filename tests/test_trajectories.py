@@ -1,0 +1,212 @@
+"""Monte-Carlo trajectory noise backend vs the exact density-matrix backend.
+
+The trajectory estimator is unbiased; with n_traj trajectories the per-entry
+std is ~sqrt(p(1-p)/n_traj) <= 0.5/sqrt(n_traj). Tests compare means against
+dm exact values with ~5 sigma tolerances (deterministic keys — no flakes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qiddm_tpu import sim
+from qiddm_tpu.sim import density as dm
+from qiddm_tpu.sim import trajectories as traj
+from qiddm_tpu.sim.engine import NoiseModel
+
+RNG = np.random.default_rng(11)
+
+
+def _setup(b=3, w=3, L=2, k=2):
+    x = jnp.asarray(RNG.normal(size=(b, w)), jnp.float32)
+    wq = jnp.asarray(RNG.normal(size=(L, k, w, 3)) * 0.4, jnp.float32)
+    return x, wq
+
+
+def _tol(n_traj):
+    return 5 * 0.5 / np.sqrt(n_traj)
+
+
+@pytest.mark.parametrize("kind,strength", [
+    ("phase_damping", 0.25),
+    ("depolarizing", 0.2),
+    ("amplitude_damping", 0.3),
+])
+def test_single_channel_matches_dm(kind, strength):
+    """One channel application on a random state: trajectory mean of probs
+    == dm probs within MC error."""
+    w, b, n_traj = 3, 2, 4000
+    st = jnp.asarray(RNG.normal(size=(b, 2**w)) +
+                     1j * RNG.normal(size=(b, 2**w)), jnp.complex64)
+    st = st / jnp.linalg.norm(st, axis=1, keepdims=True)
+
+    rho = dm.from_statevector(st)
+    rho = dm.apply_channel_all_wires(rho, kind, strength)
+    want = np.asarray(dm.probs(rho))
+
+    stT = jnp.tile(st, (n_traj, 1))
+    out = jax.jit(lambda s, key: traj.apply_channel_trajectory(
+        s, kind, strength, key))(stT, jax.random.PRNGKey(0))
+    got = np.asarray(traj._mean_over_traj(sim.probs(out), n_traj))
+    np.testing.assert_allclose(got, want, atol=_tol(n_traj))
+    # norms stay exactly 1 per trajectory (unitary mixtures / renormalized
+    # Kraus branches)
+    norms = np.asarray(jnp.sum(sim.probs(out), axis=1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_strength_zero_is_exact():
+    """At strength 0 every branch is the identity: trajectory == clean,
+    exactly, for any n_traj."""
+    x, wq = _setup()
+    noise = NoiseModel("amplitude_damping", 0.0, "encode")
+    clean = sim.reupload_block(x, wq, encode="rz", imprimitive="cz",
+                               readout="probs")
+    got = sim.reupload_block_trajectories(
+        x, wq, key=jax.random.PRNGKey(1), n_traj=3, noise=noise,
+        encode="rz", imprimitive="cz", readout="probs")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(clean), atol=2e-6)
+
+
+@pytest.mark.parametrize("kind,strength,readout", [
+    ("phase_damping", 0.3, "probs"),
+    ("depolarizing", 0.15, "expvalz"),
+    ("amplitude_damping", 0.2, "probs"),
+])
+def test_reupload_block_matches_dm(kind, strength, readout):
+    x, wq = _setup()
+    noise = NoiseModel(kind, strength, "encode")
+    want = np.asarray(sim.reupload_block(
+        x, wq, encode="rz", imprimitive="cz", noise=noise, readout=readout))
+    n_traj = 4000
+    got = np.asarray(jax.jit(
+        lambda x, wq, key: sim.reupload_block_trajectories(
+            x, wq, key=key, n_traj=n_traj, noise=noise, encode="rz",
+            imprimitive="cz", readout=readout)
+    )(x, wq, jax.random.PRNGKey(2)))
+    # expval entries are in [-1, 1]: twice the probs half-width
+    scale = 2.0 if readout == "expvalz" else 1.0
+    np.testing.assert_allclose(got, want, atol=scale * _tol(n_traj))
+
+
+def test_engine_routes_n_traj():
+    """engine.reupload_block(n_traj=...) takes the trajectory backend and
+    matches an explicit trajectories call bit-for-bit."""
+    x, wq = _setup()
+    noise = NoiseModel("depolarizing", 0.1, "encode")
+    key = jax.random.PRNGKey(3)
+    a = sim.reupload_block(x, wq, encode="rz", imprimitive="cz",
+                           noise=noise, readout="probs", n_traj=64,
+                           traj_key=key)
+    b = sim.reupload_block_trajectories(
+        x, wq, key=key, n_traj=64, noise=noise, encode="rz",
+        imprimitive="cz", readout="probs")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_qdense_trajectories_matches_dm():
+    w, depth, b, n_traj = 3, 4, 2, 3000
+    x = jnp.asarray(RNG.uniform(size=(b, 2**w)), jnp.float32)
+    wq = jnp.asarray(RNG.normal(size=(depth, w, 3)) * 0.4, jnp.float32)
+    noise = NoiseModel("amplitude_damping", 0.1, "end")
+    want = np.asarray(sim.qdense_circuit(x, wq, wires=w, noise=noise))
+    got = np.asarray(sim.qdense_circuit(
+        x, wq, wires=w, noise=noise, n_traj=n_traj,
+        traj_key=jax.random.PRNGKey(4)))
+    np.testing.assert_allclose(got, want, atol=_tol(n_traj))
+
+
+def test_qnn_trajectories_matches_dm():
+    w, depth, b, n_traj = 3, 3, 2, 3000
+    x = jnp.asarray(RNG.normal(size=(b, w)), jnp.float32)
+    wq = jnp.asarray(RNG.normal(size=(depth, w, 3)) * 0.4, jnp.float32)
+    noise = NoiseModel("phase_damping", 0.2, "encode")
+    want = np.asarray(sim.qnn_circuit(x, wq, encode="ry",
+                                      imprimitive="cnot", noise=noise,
+                                      readout="expvalz"))
+    got = np.asarray(sim.qnn_circuit(
+        x, wq, encode="ry", imprimitive="cnot", noise=noise,
+        readout="expvalz", n_traj=n_traj, traj_key=jax.random.PRNGKey(5)))
+    np.testing.assert_allclose(got, want, atol=2 * _tol(n_traj))
+
+
+def test_traced_strength_sweeps_in_one_program():
+    """Strength stays traceable: vmap over intensities compiles and matches
+    per-intensity scalar runs."""
+    x, wq = _setup(b=2, w=3, L=2, k=1)
+    key = jax.random.PRNGKey(6)
+
+    def run(s):
+        noise = NoiseModel("depolarizing", s, "encode")
+        return sim.reupload_block_trajectories(
+            x, wq, key=key, n_traj=32, noise=noise, encode="rz",
+            imprimitive="cz", readout="probs")
+
+    ss = jnp.asarray([0.0, 0.1, 0.3], jnp.float32)
+    sweeped = jax.jit(jax.vmap(run))(ss)
+    for i, s in enumerate(ss):
+        one = run(s)
+        np.testing.assert_allclose(np.asarray(sweeped[i]), np.asarray(one),
+                                   atol=3e-6)
+
+
+def test_wide_noisy_circuit_beyond_dm_cap():
+    """13 wires: the dm backend refuses (MAX_DM_WIRES = 12) but the
+    trajectory backend runs — the capability the reference (and our dm
+    path) cannot reach."""
+    w = 13
+    x = jnp.asarray(RNG.normal(size=(2, w)), jnp.float32)
+    wq = jnp.asarray(RNG.normal(size=(1, 1, w, 3)) * 0.4, jnp.float32)
+    noise = NoiseModel("amplitude_damping", 0.05, "encode")
+    with pytest.raises(ValueError, match="capped"):
+        sim.reupload_block(x, wq, noise=noise, readout="expvalz")
+    out = sim.reupload_block(x, wq, noise=noise, readout="expvalz",
+                             n_traj=8, traj_key=jax.random.PRNGKey(7))
+    assert out.shape == (2, w)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_model_and_diffusion_trajectory_sampling():
+    """End-to-end: a noisy zoo model with noise_trajectories sampling
+    through Diffusion (the *_noise drivers' test path on the trajectory
+    backend), statistically consistent with the exact dm sampler."""
+    from qiddm_tpu import nn as qnn
+    from qiddm_tpu.cli.common import with_noise
+    from qiddm_tpu.diffusion import Diffusion
+
+    net = qnn.QIDDM_LL_noise(64, 4, 2, 1, 0)
+    first_x = jnp.asarray(RNG.uniform(size=(2, 1, 8, 8)), jnp.float32)
+
+    dm_net = with_noise(net, 2, 0.05)
+    dm_diff = Diffusion(net=dm_net, prediction_goal="data", shape=(8, 8))
+    want = np.asarray(dm_diff.sample(first_x=first_x, n_iters=3,
+                                     only_last=True))
+
+    tr_net = with_noise(net, 2, 0.05, noise_trajectories=600)
+    tr_diff = Diffusion(net=tr_net, prediction_goal="data", shape=(8, 8))
+    got = np.asarray(tr_diff.sample(first_x=first_x, n_iters=3,
+                                    only_last=True,
+                                    traj_rng=jax.random.PRNGKey(8)))
+    assert got.shape == want.shape
+    # iterated denoising compounds the MC error through the linear head;
+    # bound loosely — the pin is consistency, not exactness
+    assert np.mean(np.abs(got - want)) < 0.08
+    # deterministic given the rng
+    again = np.asarray(tr_diff.sample(first_x=first_x, n_iters=3,
+                                      only_last=True,
+                                      traj_rng=jax.random.PRNGKey(8)))
+    np.testing.assert_array_equal(got, again)
+
+
+def test_missing_rng_stream_raises():
+    """noise_trajectories without a 'trajectories' rng stream is a loud
+    flax error, not silent dm fallback."""
+    from qiddm_tpu import nn as qnn
+    from qiddm_tpu.cli.common import with_noise
+
+    net = with_noise(qnn.QIDDM_LL_noise(64, 4, 2, 1, 0), 2, 0.05,
+                     noise_trajectories=8)
+    x = jnp.zeros((1, 1, 8, 8), jnp.float32)
+    with pytest.raises(Exception, match="[Rr]ng|trajectories"):
+        net.module.apply(net.variables, x, train=False, mutable=False)
