@@ -274,10 +274,11 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     dim = 2**wires
 
     if mesh is not None:
-        if _needs_dm(noise):
+        if _needs_dm(noise) and not n_traj:
             raise NotImplementedError(
-                "noise channels are not supported on the mesh-sharded "
-                "statevector path")
+                "noise channels on the mesh-sharded statevector path need "
+                "the trajectory backend: pass n_traj=.../traj_key=... "
+                "(sim/trajectories.py)")
         from .sharded import reupload_block_sharded
 
         # the sharded program applies the halfpi scaling itself; only the
@@ -289,10 +290,15 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
                 and noise.placement == "encode"):
             scale = jnp.pi * 0.5 if encode == "rz_halfpi" else 1.0
             x_shard = x_shard + noise.strength / scale
+        traj_kw = {}
+        if _needs_dm(noise):
+            traj_kw = {"noise_kind": noise.kind,
+                       "noise_strength": noise.strength,
+                       "traj_key": traj_key, "n_traj": n_traj}
         return reupload_block_sharded(
             x_shard, block_weights, mesh, axis=mesh_axis,
             imprimitive=imprimitive, encode=encode, readout=readout,
-            dtype=cdtype)
+            dtype=cdtype, **traj_kw)
 
     x_enc = _encode_angles(x_enc, encode, noise)
 

@@ -163,7 +163,8 @@ def make_sel_program(spec: ShardedState, layers: int, imprimitive: str = "cz"):
 
 def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                           imprimitive: str = "cz", encode: str = "rz",
-                          readout: str = "expvalz", dtype=jnp.complex64):
+                          readout: str = "expvalz", dtype=jnp.complex64,
+                          noise_kind: str | None = None):
     """Batched re-uploading block over the mesh — the engine's
     ``reupload_block`` semantics (L x (per-wire encode -> SEL(k))) for
     statevectors too large for one chip.
@@ -175,11 +176,26 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     encoding (the QIDDM_PL_noise1 re-uploading variant, reference
     nn/qdense.py:597-617) and rotation gates on sharded wires cost one
     pairwise ``ppermute`` each.
+
+    With ``noise_kind`` the program becomes ONE Monte-Carlo trajectory of
+    the noisy block (sim/trajectories.py semantics — placement "encode"):
+    signature ``f(x_enc, weights, key, strength)``. Branch sampling is
+    key-replicated (every device draws the same branches, keeping the
+    state globally coherent); the sampled branch gates are per-sample 1q
+    applications (``apply_1q_batched`` — one ppermute on sharded wires);
+    amplitude damping's norm weights need one extra ``psum`` marginal per
+    (layer, wire). Trajectory averaging is the CALLER's axis (tile the
+    batch, mean after) — this composes noise with wire counts neither the
+    reference nor any density-matrix backend can reach.
     """
     if encode not in ("rz", "rz_halfpi", "ry"):
         raise NotImplementedError(
             f"sharded reupload supports rz/rz_halfpi/ry encodings, "
             f"got {encode!r}")
+    if noise_kind is not None and noise_kind not in (
+            "phase_damping", "depolarizing", "amplitude_damping"):
+        raise NotImplementedError(
+            f"no trajectory unraveling for channel {noise_kind!r}")
     wires, s_bits = spec.wires, spec.shard_bits
     local_wires, n_dev, axis = spec.local_wires, spec.n_dev, spec.axis
     dim_local = 2**local_wires
@@ -188,7 +204,7 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     # (dim_local, local_wires) sign table for the local wires
     signs_local = jnp.asarray(z_sign_table(local_wires), jnp.float32)
 
-    def body(x_enc, weights):
+    def body(x_enc, weights, key, strength):
         B = x_enc.shape[0]
         dev = jax.lax.axis_index(axis)
 
@@ -283,12 +299,57 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
             other = jax.lax.ppermute(local, axis, perm)
             return jnp.where(cbits[None, :] == 1, other, local)
 
+        def apply_channel(local, key_l):
+            """One key-replicated trajectory step of the per-wire channel
+            (sampling mirrors trajectories.apply_channel_trajectory so the
+            dense and sharded paths draw identical branches per key)."""
+            from .trajectories import _pauli_mixture
+
+            if noise_kind in ("phase_damping", "depolarizing"):
+                p, mats = _pauli_mixture(noise_kind, strength)
+                logits = jnp.log(jnp.maximum(p, 1e-30))
+                mats = jnp.asarray(mats, dtype)
+                idx = jax.random.categorical(key_l, logits, shape=(wires, B))
+                for j in range(wires):
+                    local = apply_1q_batched(local, mats[idx[j]], j)
+                return local
+            # amplitude damping: norm-weighted Kraus branch per (sample,
+            # wire); P(wire=1) is a local marginal + one psum
+            g = strength
+            u = jax.random.uniform(key_l, (wires, B))
+            e00 = jnp.asarray(np.array([[1.0, 0.0], [0.0, 0.0]]), dtype)
+            e11 = jnp.asarray(np.array([[0.0, 0.0], [0.0, 1.0]]), dtype)
+            e01 = jnp.asarray(np.array([[0.0, 1.0], [0.0, 0.0]]), dtype)
+            k0 = e00 + jnp.sqrt(1.0 - g).astype(dtype) * e11
+            k1 = jnp.sqrt(g).astype(dtype) * e01
+            for j in range(wires):
+                pl_ = jnp.real(local) ** 2 + jnp.imag(local) ** 2
+                if j < s_bits:
+                    part = jnp.sum(pl_, axis=1) * global_bits(j).astype(
+                        pl_.dtype)
+                else:
+                    part = jnp.matmul(pl_, global_bits(j).astype(pl_.dtype))
+                p1 = g * jax.lax.psum(part, axis)
+                pick1 = u[j] < p1
+                inv0 = jax.lax.rsqrt(jnp.maximum(1.0 - p1, 1e-30))
+                inv1 = jax.lax.rsqrt(jnp.maximum(p1, 1e-30))
+                scale = jnp.where(pick1, inv1, inv0).astype(dtype)
+                gate = jnp.where(pick1[:, None, None], k1[None], k0[None])
+                local = apply_1q_batched(local,
+                                         gate * scale[:, None, None], j)
+            return local
+
+        noise_keys = (jax.random.split(key, L) if noise_kind is not None
+                      else None)
+
         # |0...0> lives in device 0's shard
         local = jnp.zeros((B, dim_local), dtype)
         local = jnp.where(dev == 0, local.at[:, 0].set(1.0), local)
 
         for l in range(L):
             local = encode_states(local)
+            if noise_kind is not None:
+                local = apply_channel(local, noise_keys[l])
             for kk in range(k):
                 mats = rot_matrix(weights[l, kk, :, 0], weights[l, kk, :, 1],
                                   weights[l, kk, :, 2]).astype(dtype)
@@ -317,32 +378,52 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         return jax.lax.psum(jnp.stack(out, axis=1), axis)
 
     out_spec = P(None, axis) if readout == "probs" else P()
-    fn = jax.shard_map(body, mesh=spec.mesh, in_specs=(P(), P()),
-                       out_specs=out_spec)
+    if noise_kind is None:
+        clean = lambda x, w: body(x, w, None, None)
+        fn = jax.shard_map(clean, mesh=spec.mesh, in_specs=(P(), P()),
+                           out_specs=out_spec)
+    else:
+        fn = jax.shard_map(body, mesh=spec.mesh,
+                           in_specs=(P(), P(), P(), P()),
+                           out_specs=out_spec)
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
 def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
-                             readout, dtype):
+                             readout, dtype, noise_kind=None):
     """Memoized program build: a fresh jax.jit closure per call would be a
     new cache key every time, retracing/recompiling the whole shard_map
     program on each eager invocation of the engine mesh route."""
     spec = ShardedState(wires, mesh, axis)
     return make_reupload_program(spec, L, k, imprimitive=imprimitive,
                                  encode=encode, readout=readout,
-                                 dtype=jnp.dtype(dtype))
+                                 dtype=jnp.dtype(dtype),
+                                 noise_kind=noise_kind)
 
 
 def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
                            imprimitive: str = "cz", encode: str = "rz",
-                           readout: str = "expvalz", dtype=jnp.complex64):
-    """One-call form of make_reupload_program for engine routing."""
+                           readout: str = "expvalz", dtype=jnp.complex64,
+                           noise_kind=None, noise_strength=None,
+                           traj_key=None, n_traj: int = 0):
+    """One-call form of make_reupload_program for engine routing.
+
+    With ``noise_kind`` + ``n_traj``: runs the Monte-Carlo trajectory
+    estimate on the mesh — trajectories tile the (replicated) batch axis,
+    the readout is averaged over them (sim/trajectories.py semantics,
+    identical branch draws per key as the dense backend)."""
     L, k, wires, _ = block_weights.shape
     fn = _cached_reupload_program(wires, mesh, axis, int(L), int(k),
                                   imprimitive, encode, readout,
-                                  jnp.dtype(dtype).name)
-    return fn(x_enc, block_weights)
+                                  jnp.dtype(dtype).name, noise_kind)
+    if noise_kind is None:
+        return fn(x_enc, block_weights)
+    b = x_enc.shape[0]
+    xT = jnp.tile(x_enc, (n_traj, 1))
+    out = fn(xT, block_weights, traj_key,
+             jnp.asarray(noise_strength, jnp.float32))
+    return out.reshape((n_traj, b) + out.shape[1:]).mean(axis=0)
 
 
 def probs_sharded(spec: ShardedState, state):

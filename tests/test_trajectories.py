@@ -210,3 +210,39 @@ def test_missing_rng_stream_raises():
     x = jnp.zeros((1, 1, 8, 8), jnp.float32)
     with pytest.raises(Exception, match="[Rr]ng|trajectories"):
         net.module.apply(net.variables, x, train=False, mutable=False)
+
+
+@pytest.mark.parametrize("kind,strength", [
+    ("depolarizing", 0.15),
+    ("amplitude_damping", 0.2),
+    ("phase_damping", 0.3),
+])
+def test_sharded_trajectories_match_dense(kind, strength):
+    """The mesh-sharded trajectory program draws the SAME branches per key
+    as the dense backend (sampling structures mirror each other), so their
+    estimates agree to float tolerance — noise now rides the mesh."""
+    from qiddm_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, ("data",))
+    x, wq = _setup(b=2, w=5, L=2, k=2)
+    noise = NoiseModel(kind, strength, "encode")
+    key = jax.random.PRNGKey(9)
+    n_traj = 64
+    dense = sim.reupload_block_trajectories(
+        x, wq, key=key, n_traj=n_traj, noise=noise, encode="rz",
+        imprimitive="cz", readout="expvalz")
+    sharded = sim.reupload_block(
+        x, wq, encode="rz", imprimitive="cz", noise=noise,
+        readout="expvalz", mesh=mesh, n_traj=n_traj, traj_key=key)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               atol=1e-4)
+
+
+def test_sharded_noise_without_traj_still_raises():
+    from qiddm_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, ("data",))
+    x, wq = _setup(b=2, w=5)
+    noise = NoiseModel("depolarizing", 0.1, "encode")
+    with pytest.raises(NotImplementedError, match="trajectory"):
+        sim.reupload_block(x, wq, noise=noise, readout="expvalz", mesh=mesh)
