@@ -271,6 +271,45 @@ def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
         f"no reference baseline — beyond its 10-wire ceiling")
 
 
+def bench_traj_noisy_sampling(wires: int = 12, batch: int = 10,
+                              n_traj: int = 100, iters: int = 15,
+                              reps: int = 3, L: int = 6, N: int = 2):
+    """Noisy sampling BEYOND the density-matrix ceiling: a 12-wire noisy
+    model on the Monte-Carlo trajectory backend (sim/trajectories.py).
+    Neither the reference (default.mixed) nor our own dm backend can
+    represent this circuit's channel — rho would be 2^24 amplitudes per
+    sample; trajectories run it as n_traj statevector chains."""
+    import jax
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.cli.common import with_noise
+    from qiddm_tpu.diffusion import Diffusion
+
+    net = with_noise(nn.QIDDM_LL_noise(784, wires, L, N, 0), 2, 0.05,
+                     noise_trajectories=n_traj)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(28, 28))
+    first_x = jax.random.uniform(
+        jax.random.PRNGKey(3), (batch, 1, 28, 28)) * 0.75 + 0.5
+    rng = jax.random.PRNGKey(5)
+    _sync(diff.sample(first_x=first_x, n_iters=iters, only_last=True,
+                      traj_rng=rng))
+    t0 = time.time()
+    for _ in range(reps):
+        out = diff.sample(first_x=first_x, n_iters=iters, only_last=True,
+                          traj_rng=rng)
+    _sync(out)
+    wall = (time.time() - t0) / reps
+    v = batch / wall
+    return {
+        "metric": f"sample_images_per_sec_traj_noise_{wires}wires",
+        "value": round(v, 1),
+        "unit": "images/s",
+        "vs_baseline": None,
+    }, (f"batch={batch}, {iters} denoise iters, n_traj={n_traj} at "
+        f"wires={wires} (amplitude damping 0.05) — beyond every "
+        f"density-matrix backend's ceiling; no reference baseline")
+
+
 def main(argv=None):
     import argparse
     import pathlib
@@ -281,19 +320,8 @@ def main(argv=None):
                          "results/benchmarks.json)")
     args = ap.parse_args(argv)
 
-    # persistent compile cache: a cold remote compile of the 30-epoch scan
-    # costs ~10 min after any engine change; cached reruns take seconds.
-    # Harmless if the backend doesn't support executable serialization.
-    try:
-        import os
-
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/qiddm_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compile cache: qiddm_tpu.config points it at the
+    # host-fingerprinted default on import (config._setup_compilation_cache)
 
     primary, detail, util = bench_qiddm_a()
     print(json.dumps(primary))
@@ -307,7 +335,8 @@ def main(argv=None):
         serving = lambda: bench_sampling(batch=4096, reps=3,
                                          tag="_batch4096_serving")
         for fn in (bench_qiddm_ll_flagship, bench_sampling, serving,
-                   bench_noise_dm_sampling, bench_wide_reupload):
+                   bench_noise_dm_sampling, bench_traj_noisy_sampling,
+                   bench_wide_reupload):
             rec = fn()
             suite.append(dict(rec[0], detail=rec[1]))
             print(f"# {rec[0]['metric']}: {rec[0]['value']} "

@@ -108,6 +108,15 @@ def build_parser(description: str, *, default_models, default_data: str,
                    help="Checkpoint format: 'pt' (reference-parity pickles) "
                         "or 'orbax' (TPU-native tensorstores; periodic "
                         "saves run async so training never blocks on IO).")
+    p.add_argument("--noise-backend", type=str, default="dm",
+                   choices=["dm", "traj"],
+                   help="Channel simulation at noisy test time: 'dm' "
+                        "(exact density matrix, the reference's "
+                        "default.mixed, <= 12 wires) or 'traj' "
+                        "(Monte-Carlo statevector trajectories — unbiased, "
+                        "O(n_traj 2^w), the only route for wide circuits).")
+    p.add_argument("--n-traj", type=int, default=100,
+                   help="Trajectory count for --noise-backend traj.")
 
     orig_parse = p.parse_args
 
@@ -396,17 +405,22 @@ def _dump_images(args, x_train, generated, grid, diff):
 
 
 def save_outp(diff, args, outp, noise_intensity):
+    # traj-backend outputs are statistical estimates — cache them under a
+    # distinct suffix so dm and traj runs never serve each other's caches
+    tag = ("_traj" if getattr(args, "noise_backend", "dm") == "traj"
+           else "")
     sp = (pathlib.Path(args.save_path)
-          / f"{diff.save_name()}_outp_{noise_intensity}.pt")
+          / f"{diff.save_name()}_outp_{noise_intensity}{tag}.pt")
     sp.parent.mkdir(parents=True, exist_ok=True)
     with open(sp, "wb") as f:
         pickle.dump(np.asarray(outp), f)
 
 
-def load_outp(diff, load_path, noise_intensity):
+def load_outp(diff, load_path, noise_intensity, backend="dm"):
     """Sampler-output cache (reference src/mnist_noise.py:285-308)."""
+    tag = "_traj" if backend == "traj" else ""
     lp = (pathlib.Path(load_path)
-          / f"{diff.save_name()}_outp_{noise_intensity}.pt")
+          / f"{diff.save_name()}_outp_{noise_intensity}{tag}.pt")
     print(lp)
     try:
         with open(lp, "rb") as f:

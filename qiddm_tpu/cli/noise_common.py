@@ -23,7 +23,8 @@ from ..diffusion import Diffusion
 from ..noise import add_normal_noise_multiple
 from . import common
 
-def _sample_intensities(diff, first_x, tau_test: int, intensities):
+def _sample_intensities(diff, first_x, tau_test: int, intensities,
+                        traj_rng=None):
     """Sampler grids for EVERY intensity through ONE compiled program: the
     channel strength is a traced argument, so the sweep reuses a single
     jitted sampler across all values instead of recompiling per value.
@@ -44,21 +45,31 @@ def _sample_intensities(diff, first_x, tau_test: int, intensities):
     # program every time (the Pallas payload hashes fresh per trace, so
     # even the persistent cache cannot absorb it; measured ~16 min per
     # recompile on the axon backend)
-    key = (tau_test, first_x.shape)
+    key = (tau_test, first_x.shape, traj_rng is not None)
     cache = getattr(diff, "_intensity_samplers", None)
     if cache is None:
         cache = diff._intensity_samplers = {}
     one = cache.get(key)
     if one is None:
-        @jax.jit
-        def one(intensity, base, first_x):
-            v = {**base, "noise_cfg": {"intensity": intensity}}
-            return diff.sample_fn(v, first_x, n_iters=tau_test,
-                                  only_last=False)
+        if traj_rng is None:
+            @jax.jit
+            def one(intensity, base, first_x):
+                v = {**base, "noise_cfg": {"intensity": intensity}}
+                return diff.sample_fn(v, first_x, n_iters=tau_test,
+                                      only_last=False)
+        else:
+            @jax.jit
+            def one(intensity, base, first_x, rng):
+                v = {**base, "noise_cfg": {"intensity": intensity}}
+                return diff.sample_fn(v, first_x, n_iters=tau_test,
+                                      only_last=False, traj_rng=rng)
 
         cache[key] = one
 
-    return jnp.stack([one(jnp.float32(v), base, first_x)
+    if traj_rng is None:
+        return jnp.stack([one(jnp.float32(v), base, first_x)
+                          for v in intensities])
+    return jnp.stack([one(jnp.float32(v), base, first_x, traj_rng)
                       for v in intensities])
 
 
@@ -136,8 +147,12 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
         args.load_path = noise_load_path + str(add_noise)
         for mi, model_args in enumerate(args.model):
             model_name, diff_clean, _ = trained[mi]
-            noisy_net = common.with_noise(diff_clean.net, add_noise,
-                                          float(intensities[0]))
+            use_traj = getattr(args, "noise_backend", "dm") == "traj"
+            traj_rng = (jax.random.PRNGKey(args.seed + 17)
+                        if use_traj else None)
+            noisy_net = common.with_noise(
+                diff_clean.net, add_noise, float(intensities[0]),
+                noise_trajectories=(args.n_traj if use_traj else 0))
             diff = Diffusion(net=noisy_net,
                              noise_f=add_normal_noise_multiple,
                              prediction_goal=args.target,
@@ -149,7 +164,9 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
             # src/mnist_noise.py:214-230)
             grids, missing = {}, []
             for intensity in intensities:
-                cached = common.load_outp(diff, args.load_path, intensity)
+                cached = common.load_outp(
+                    diff, args.load_path, intensity,
+                    backend=getattr(args, "noise_backend", "dm"))
                 if cached is not None:
                     grids[intensity] = cached
                 else:
@@ -157,7 +174,8 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
             if missing:
                 if "noise_cfg" in noisy_net.variables:
                     vg = np.asarray(_sample_intensities(
-                        diff, first_x, tau_test, missing))
+                        diff, first_x, tau_test, missing,
+                        traj_rng=traj_rng))
                     for i, intensity in enumerate(missing):
                         grids[intensity] = vg[i]
                 else:

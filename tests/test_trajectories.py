@@ -246,3 +246,35 @@ def test_sharded_noise_without_traj_still_raises():
     noise = NoiseModel("depolarizing", 0.1, "encode")
     with pytest.raises(NotImplementedError, match="trajectory"):
         sim.reupload_block(x, wq, noise=noise, readout="expvalz", mesh=mesh)
+
+
+def test_noise_driver_traj_backend(tmp_path, monkeypatch):
+    """--noise-backend traj runs the full noise-sweep driver on the
+    trajectory backend, writes distinct (_traj) sampler caches, and at
+    intensity 0 matches the exact backend's scores."""
+    from qiddm_tpu.cli import mnist_noise
+    from qiddm_tpu.cli.noise_common import run_noise_sweep
+
+    monkeypatch.chdir(tmp_path)
+    argv = [
+        "--data", "mnist_8x8", "--img_size", "8",
+        "--model", "QIDDM_LL_noise", "64", "4", "2", "1",
+        "--ds-size", "120", "--epochs", "1", "--batch_size", "8",
+        "--tau", "2", "--label", "3",
+        "--save-path", str(tmp_path) + "/t_",
+        "--load-path", str(tmp_path) + "/t_",
+    ]
+    args_dm = mnist_noise.parse_args(argv)
+    res_dm = run_noise_sweep(args_dm, noise_types=[2],
+                             intensities=[0.0, 0.05], tau_test=2)
+    args_tr = mnist_noise.parse_args(
+        argv + ["--noise-backend", "traj", "--n-traj", "64"])
+    res_tr = run_noise_sweep(args_tr, noise_types=[2],
+                             intensities=[0.0, 0.05], tau_test=2)
+    import pathlib
+    assert list(pathlib.Path(tmp_path).rglob("*_outp_*_traj.pt"))
+    dm0 = res_dm["QIDDM_LL_noise"][2]["ssim"][0]
+    tr0 = res_tr["QIDDM_LL_noise"][2]["ssim"][0]
+    # intensity 0: every trajectory branch is the identity — exact match
+    np.testing.assert_allclose(tr0, dm0, atol=1e-4)
+    assert np.all(np.isfinite(res_tr["QIDDM_LL_noise"][2]["ssim"]))
