@@ -294,7 +294,8 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         if _needs_dm(noise):
             traj_kw = {"noise_kind": noise.kind,
                        "noise_strength": noise.strength,
-                       "traj_key": traj_key, "n_traj": n_traj}
+                       "traj_key": traj_key, "n_traj": n_traj,
+                       "noise_placement": noise.placement}
         return reupload_block_sharded(
             x_shard, block_weights, mesh, axis=mesh_axis,
             imprimitive=imprimitive, encode=encode, readout=readout,

@@ -164,7 +164,8 @@ def make_sel_program(spec: ShardedState, layers: int, imprimitive: str = "cz"):
 def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                           imprimitive: str = "cz", encode: str = "rz",
                           readout: str = "expvalz", dtype=jnp.complex64,
-                          noise_kind: str | None = None):
+                          noise_kind: str | None = None,
+                          noise_placement: str = "encode"):
     """Batched re-uploading block over the mesh — the engine's
     ``reupload_block`` semantics (L x (per-wire encode -> SEL(k))) for
     statevectors too large for one chip.
@@ -178,7 +179,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     pairwise ``ppermute`` each.
 
     With ``noise_kind`` the program becomes ONE Monte-Carlo trajectory of
-    the noisy block (sim/trajectories.py semantics — placement "encode"):
+    the noisy block (sim/trajectories.py semantics; ``noise_placement``
+    "encode" injects after every re-upload, "end" once after the block):
     signature ``f(x_enc, weights, key, strength)``. Branch sampling is
     key-replicated (every device draws the same branches, keeping the
     state globally coherent); the sampled branch gates are per-sample 1q
@@ -315,13 +317,12 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                 return local
             # amplitude damping: norm-weighted Kraus branch per (sample,
             # wire); P(wire=1) is a local marginal + one psum
+            from . import channels as ch
+
             g = strength
             u = jax.random.uniform(key_l, (wires, B))
-            e00 = jnp.asarray(np.array([[1.0, 0.0], [0.0, 0.0]]), dtype)
-            e11 = jnp.asarray(np.array([[0.0, 0.0], [0.0, 1.0]]), dtype)
-            e01 = jnp.asarray(np.array([[0.0, 1.0], [0.0, 0.0]]), dtype)
-            k0 = e00 + jnp.sqrt(1.0 - g).astype(dtype) * e11
-            k1 = jnp.sqrt(g).astype(dtype) * e01
+            k0, k1 = (jnp.asarray(kk, dtype)
+                      for kk in ch.amplitude_damping(g))
             for j in range(wires):
                 pl_ = jnp.real(local) ** 2 + jnp.imag(local) ** 2
                 if j < s_bits:
@@ -339,7 +340,7 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                                          gate * scale[:, None, None], j)
             return local
 
-        noise_keys = (jax.random.split(key, L) if noise_kind is not None
+        noise_keys = (jax.random.split(key, L + 1) if noise_kind is not None
                       else None)
 
         # |0...0> lives in device 0's shard
@@ -348,7 +349,7 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
 
         for l in range(L):
             local = encode_states(local)
-            if noise_kind is not None:
+            if noise_kind is not None and noise_placement == "encode":
                 local = apply_channel(local, noise_keys[l])
             for kk in range(k):
                 mats = rot_matrix(weights[l, kk, :, 0], weights[l, kk, :, 1],
@@ -363,6 +364,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                             local = apply_cz(local, j, t)
                         else:
                             local = apply_cnot(local, j, t)
+        if noise_kind is not None and noise_placement == "end":
+            local = apply_channel(local, noise_keys[L])
 
         p = jnp.real(local) ** 2 + jnp.imag(local) ** 2
         if readout == "probs":
@@ -391,7 +394,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
 
 @functools.lru_cache(maxsize=64)
 def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
-                             readout, dtype, noise_kind=None):
+                             readout, dtype, noise_kind=None,
+                             noise_placement="encode"):
     """Memoized program build: a fresh jax.jit closure per call would be a
     new cache key every time, retracing/recompiling the whole shard_map
     program on each eager invocation of the engine mesh route."""
@@ -399,14 +403,16 @@ def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
     return make_reupload_program(spec, L, k, imprimitive=imprimitive,
                                  encode=encode, readout=readout,
                                  dtype=jnp.dtype(dtype),
-                                 noise_kind=noise_kind)
+                                 noise_kind=noise_kind,
+                                 noise_placement=noise_placement)
 
 
 def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
                            imprimitive: str = "cz", encode: str = "rz",
                            readout: str = "expvalz", dtype=jnp.complex64,
                            noise_kind=None, noise_strength=None,
-                           traj_key=None, n_traj: int = 0):
+                           traj_key=None, n_traj: int = 0,
+                           noise_placement: str = "encode"):
     """One-call form of make_reupload_program for engine routing.
 
     With ``noise_kind`` + ``n_traj``: runs the Monte-Carlo trajectory
@@ -414,9 +420,14 @@ def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
     the readout is averaged over them (sim/trajectories.py semantics,
     identical branch draws per key as the dense backend)."""
     L, k, wires, _ = block_weights.shape
+    if noise_kind is not None and (n_traj <= 0 or traj_key is None):
+        raise ValueError(
+            "noise_kind on the sharded path needs n_traj > 0 and a "
+            "traj_key (Monte-Carlo trajectory backend)")
     fn = _cached_reupload_program(wires, mesh, axis, int(L), int(k),
                                   imprimitive, encode, readout,
-                                  jnp.dtype(dtype).name, noise_kind)
+                                  jnp.dtype(dtype).name, noise_kind,
+                                  noise_placement)
     if noise_kind is None:
         return fn(x_enc, block_weights)
     b = x_enc.shape[0]

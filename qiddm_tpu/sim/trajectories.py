@@ -91,7 +91,7 @@ def _pauli_mixture(kind: str, strength):
 def wire_one_prob(states, wire: int):
     """P(wire = 1) per state: (batch,) real."""
     wires = int(math.log2(states.shape[-1]))
-    bits = jnp.asarray(bit_table(wires)[:, wire], probs(states).dtype)
+    bits = jnp.asarray(bit_table(wires)[:, wire], jnp.real(states).dtype)
     return jnp.matmul(probs(states), bits,
                       precision=_config.matmul_precision())
 
@@ -114,14 +114,12 @@ def apply_channel_trajectory(states, kind: str, strength, key):
             states = apply_1q(states, mats[idx[j]], j, wires)
         return states
     if kind == "amplitude_damping":
+        from . import channels as ch
+
         g = strength
         u = jax.random.uniform(key, (wires, b))
-        k0 = jnp.asarray(
-            np.array([[1.0, 0.0], [0.0, 0.0]]), cdtype
-        ) + jnp.sqrt(1.0 - g).astype(cdtype) * jnp.asarray(
-            np.array([[0.0, 0.0], [0.0, 1.0]]), cdtype)
-        k1 = jnp.sqrt(g).astype(cdtype) * jnp.asarray(
-            np.array([[0.0, 1.0], [0.0, 0.0]]), cdtype)
+        k0, k1 = (jnp.asarray(k, cdtype)
+                  for k in ch.amplitude_damping(g))
         for j in range(wires):
             p1 = g * wire_one_prob(states, j)                  # (b,)
             pick1 = u[j] < p1
@@ -167,10 +165,12 @@ def reupload_block_trajectories(x_enc, block_weights, *, key, n_traj: int,
                                 readout: str = "probs", cdtype=None):
     """Trajectory estimate of the dm re-uploading block.
 
-    Matches ``engine.reupload_block``'s density-matrix path in expectation
-    (L x [encode -> channel -> SEL(k, CZ)], noise placement "encode" —
-    reference nn/qdense.py:1403-1421). x_enc must already carry any
-    halfpi/rot-angle transforms (the engine applies them before routing).
+    Matches ``engine.reupload_block``'s density-matrix path in expectation:
+    placement "encode" injects the channel after every re-upload
+    (L x [encode -> channel -> SEL(k, CZ)], reference nn/qdense.py:1403-1421),
+    placement "end" once after the whole block. x_enc must already carry
+    any halfpi/rot-angle transforms (the engine applies them before
+    routing).
 
     x_enc: (batch, wires); block_weights: (L, k, wires, 3); key: PRNGKey.
     Returns (batch, 2^w) probs or (batch, wires) Z-expectations.
@@ -182,7 +182,7 @@ def reupload_block_trajectories(x_enc, block_weights, *, key, n_traj: int,
     xT = _tile_traj(x_enc, n_traj)
     states = zero_state(n_traj * batch, wires, dtype=cdtype)
     phases = rz_phases(xT, wires) if encode in ("rz", "rz_halfpi") else None
-    keys = jax.random.split(key, L)
+    keys = jax.random.split(key, L + 1)
 
     # Python loop over L (static, <= ~15 in every reference config): the
     # per-layer unitaries differ so there is no scan-carry win, and the
@@ -190,9 +190,13 @@ def reupload_block_trajectories(x_enc, block_weights, *, key, n_traj: int,
     for l in range(L):
         states = (states * phases if phases is not None
                   else apply_ry_all(states, xT))
-        states = apply_channel_trajectory(states, noise.kind,
-                                          noise.strength, keys[l])
+        if noise.placement == "encode":
+            states = apply_channel_trajectory(states, noise.kind,
+                                              noise.strength, keys[l])
         states = _sel_chain(states, block_weights[l], imprimitive, cdtype)
+    if noise.placement == "end":
+        states = apply_channel_trajectory(states, noise.kind,
+                                          noise.strength, keys[L])
     out = probs(states) if readout == "probs" else expval_z(states)
     return _mean_over_traj(out, n_traj)
 

@@ -278,3 +278,46 @@ def test_noise_driver_traj_backend(tmp_path, monkeypatch):
     # intensity 0: every trajectory branch is the identity — exact match
     np.testing.assert_allclose(tr0, dm0, atol=1e-4)
     assert np.all(np.isfinite(res_tr["QIDDM_LL_noise"][2]["ssim"]))
+
+
+def test_end_placement_matches_dm():
+    """placement='end' (Qdense/QNN_A-style: channel once after the block)
+    is honored by the trajectory backend — dense and sharded — and
+    converges to the dm path (which applies it once after the scan)."""
+    from qiddm_tpu.parallel import make_mesh
+
+    x, wq = _setup(b=2, w=3, L=2, k=2)
+    noise = NoiseModel("amplitude_damping", 0.3, "end")
+    want = np.asarray(sim.reupload_block(
+        x, wq, encode="rz", imprimitive="cz", noise=noise,
+        readout="probs"))
+    n_traj = 4000
+    key = jax.random.PRNGKey(13)
+    got = np.asarray(sim.reupload_block_trajectories(
+        x, wq, key=key, n_traj=n_traj, noise=noise, encode="rz",
+        imprimitive="cz", readout="probs"))
+    np.testing.assert_allclose(got, want, atol=_tol(n_traj))
+
+    # sharded honors it identically (same key -> same branch draws); 5
+    # wires so the 8-device mesh keeps local wires (3 shard bits)
+    mesh = make_mesh(8, ("data",))
+    x5, wq5 = _setup(b=2, w=5, L=2, k=2)
+    small = sim.reupload_block_trajectories(
+        x5, wq5, key=key, n_traj=64, noise=noise, encode="rz",
+        imprimitive="cz", readout="probs")
+    sharded = sim.reupload_block(
+        x5, wq5, encode="rz", imprimitive="cz", noise=noise,
+        readout="probs", mesh=mesh, n_traj=64, traj_key=key)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(small),
+                               atol=1e-4)
+
+
+def test_sharded_noise_guard_rejects_missing_traj_args():
+    from qiddm_tpu.parallel import make_mesh
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    x, wq = _setup(b=2, w=5)
+    with pytest.raises(ValueError, match="n_traj"):
+        reupload_block_sharded(x, wq, mesh, noise_kind="depolarizing",
+                               noise_strength=0.1)
