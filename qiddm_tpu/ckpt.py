@@ -399,9 +399,7 @@ def load_diffusion(diff, load_path, label,
     except FileNotFoundError:
         print("Failed to load model: File not found.\n")
         return [], 0
-    restored = jax.tree_util.tree_map(
-        lambda a: a, ckpt["model_state_dict"])
-    diff.net.variables = restored
+    diff.net.variables = ckpt["model_state_dict"]
     print("Model loaded successfully.\n")
     return ckpt.get("loss_values", []), ckpt.get("epochs", 0)
 
@@ -435,19 +433,39 @@ def save_orbax(path, variables, *, loss_values=None, epochs: int = 0,
         state["opt_state"] = opt_state
     meta = {"loss_values": [float(v) for v in (loss_values or [])],
             "epochs": int(epochs)}
+    def _write_meta():
+        # sidecar lives NEXT TO the checkpoint dir — writing inside it
+        # would pre-create the destination and break orbax's atomic
+        # tmp-dir rename
+        path.parent.mkdir(parents=True, exist_ok=True)
+        pathlib.Path(str(path) + ".meta.json").write_text(json.dumps(meta))
+
     if async_save:
+        import threading
+        import types
+
         ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
-    else:
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, state, force=True)
-        # StandardCheckpointer commits in a background thread in recent
-        # orbax — join so the checkpoint is durable when we return
-        ckptr.wait_until_finished()
-    # sidecar lives NEXT TO the checkpoint dir — writing inside it would
-    # pre-create the destination and break orbax's atomic tmp-dir rename
-    path.parent.mkdir(parents=True, exist_ok=True)
-    pathlib.Path(str(path) + ".meta.json").write_text(json.dumps(meta))
+
+        def _commit_then_meta():
+            # the sidecar must become visible only AFTER orbax's atomic
+            # tmp-dir rename: written before the commit, a crash mid-save
+            # would leave a NEW meta (epochs/loss) next to OLD or absent
+            # arrays and a later resume would silently skip the
+            # un-persisted epochs
+            ckptr.wait_until_finished()
+            _write_meta()
+
+        t = threading.Thread(target=_commit_then_meta)  # non-daemon: the
+        t.start()  # interpreter joins it at exit, so meta always lands
+        return types.SimpleNamespace(wait_until_finished=t.join,
+                                     checkpointer=ckptr)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    # StandardCheckpointer commits in a background thread in recent
+    # orbax — join so the checkpoint is durable when we return
+    ckptr.wait_until_finished()
+    _write_meta()
     return ckptr
 
 

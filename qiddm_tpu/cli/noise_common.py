@@ -92,10 +92,26 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
     if tau_test is None:
         tau_test = args.tau * 2
     common.validate_args(args)
-    original_save, original_load = args.save_path, args.load_path
+    original = dict(save_path=args.save_path, load_path=args.load_path,
+                    batch_size=args.batch_size, lr=args.lr)
+    try:
+        return _run_noise_sweep(args, noise_types=noise_types,
+                                intensities=intensities, tau_test=tau_test,
+                                gen_img_count=gen_img_count,
+                                real_img_count=real_img_count)
+    finally:
+        # the sweep rewrites these per (label, noise type); restore even on
+        # failure so a caller that catches and reuses args (retry loops,
+        # multi-label drivers) never trains/writes under a stale nested path
+        for k, v in original.items():
+            setattr(args, k, v)
+
+
+def _run_noise_sweep(args, *, noise_types, intensities, tau_test,
+                     gen_img_count, real_img_count):
     label = args.label
-    args.save_path = original_save + str(label) + "/noise_"
-    args.load_path = original_load + str(label) + "/noise_"
+    args.save_path = args.save_path + str(label) + "/noise_"
+    args.load_path = args.load_path + str(label) + "/noise_"
     noise_save_path, noise_load_path = args.save_path, args.load_path
     args.save_path = noise_save_path + "0"
     args.load_path = noise_load_path + "0"
@@ -215,5 +231,4 @@ def run_noise_sweep(args, *, noise_types, intensities, tau_test=None,
                                  model_name=f"noise{add_noise}",
                                  model_params=[metric_name],
                                  xlabel=xlabel, x_values=list(intensities))
-    args.save_path, args.load_path = original_save, original_load
     return results

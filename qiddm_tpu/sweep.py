@@ -200,15 +200,18 @@ def sweep_lr(make_net: Callable[[int], object], lrs: Sequence[float],
         if trial_sharding is not None else None,
     )
 
-    if local_dir is not None and jax.process_index() == 0:
-        # multi-process: gather the (tiny) trained params once, write from
-        # process 0 only (shared-FS writes would collide otherwise)
-        result.trial_dirs = _write_artifacts(
-            local_dir, exp_name, result,
-            jax.tree_util.tree_map(to_host, params),
-            jax.tree_util.tree_map(to_host, extra), row_map, proto,
-            dict(batch_size=bs, epochs=epochs, T=T), t_start, last_epoch,
-            ckpt_backend)
+    if local_dir is not None:
+        # multi-process: the cross-process allgather inside to_host is a
+        # COLLECTIVE — every process must participate or process 0 hangs
+        # in it forever; only the shared-FS writes are process-0-gated
+        # (concurrent writes would collide otherwise)
+        host_params = jax.tree_util.tree_map(to_host, params)
+        host_extra = jax.tree_util.tree_map(to_host, extra)
+        if jax.process_index() == 0:
+            result.trial_dirs = _write_artifacts(
+                local_dir, exp_name, result, host_params, host_extra,
+                row_map, proto, dict(batch_size=bs, epochs=epochs, T=T),
+                t_start, last_epoch, ckpt_backend)
     return result
 
 

@@ -74,13 +74,20 @@ trial_mesh = distributed.global_mesh(("trial",))
 res = sweep_lr(make_net, CASE["sweep_lrs"], x_train, shape=CASE["shape"],
                epochs=CASE["epochs"], batch_size=CASE["batch_size"],
                T=CASE["T"], seed=3)
+# local_dir exercises the artifact path cross-process: the to_host
+# allgather is a collective every process must enter (a process-0-only
+# gather deadlocks), while only process 0 writes the files
+art_dir = out_path.parent / "sweep_artifacts"
 res_m = sweep_lr(make_net, CASE["sweep_lrs"], x_train, shape=CASE["shape"],
                  epochs=CASE["epochs"], batch_size=CASE["batch_size"],
-                 T=CASE["T"], seed=3, mesh=trial_mesh)
+                 T=CASE["T"], seed=3, mesh=trial_mesh,
+                 local_dir=str(art_dir))
 results["sweep_final_loss"] = [float(v) for v in res_m.final_loss]
 results["sweep_final_loss_nomesh"] = [float(v) for v in res.final_loss]
 results["sweep_ssim"] = [float(v) for v in res_m.ssim]
 results["sweep_param_sharding"] = res_m.param_sharding
+results["sweep_artifacts_written"] = sorted(
+    p.name for p in art_dir.rglob("result.json"))
 
 if pid == 0:
     out_path.write_text(json.dumps(results))

@@ -100,3 +100,8 @@ def test_sweep_over_process_spanning_mesh(worker_results):
                                res.final_loss, rtol=2e-4)
     assert "trial" in (worker_results["sweep_param_sharding"] or "")
     assert np.all(np.isfinite(worker_results["sweep_ssim"]))
+    # the artifact path ran cross-process (collective gather on every
+    # process, files written by process 0 only) and produced one
+    # result.json per trial
+    assert len(worker_results["sweep_artifacts_written"]) == len(
+        CASE["sweep_lrs"])
