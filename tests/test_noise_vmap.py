@@ -73,9 +73,9 @@ def test_noise_sweep_uses_vmapped_sampler(tmp_path, monkeypatch):
     calls = []
     orig = noise_common._sample_intensities
 
-    def spy(diff, first_x, tau_test, intensities):
+    def spy(diff, first_x, tau_test, intensities, **kw):
         calls.append(list(intensities))
-        return orig(diff, first_x, tau_test, intensities)
+        return orig(diff, first_x, tau_test, intensities, **kw)
 
     monkeypatch.setattr(noise_common, "_sample_intensities", spy)
     monkeypatch.chdir(tmp_path)
