@@ -37,11 +37,18 @@ def _host_cpu_fingerprint() -> str:
     such as SIGILL" — observed when a shared home dir crossed machines).
     Keying the default cache dir on the feature set keeps entries
     host-compatible while still sharing across sessions on the same host.
+
+    The jaxlib version is part of the key too: XLA's AOT target-machine
+    string includes version-dependent pseudo-features (e.g.
+    ``+prefer-no-scatter``), so entries written by one jaxlib fail to load
+    under another with the same loud cpu_aot_loader error.
     """
     import hashlib
     import platform
 
-    desc = platform.machine()
+    import jaxlib
+
+    desc = platform.machine() + " jaxlib-" + jaxlib.__version__
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
