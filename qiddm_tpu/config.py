@@ -158,6 +158,31 @@ def use_pallas() -> bool:
     return _USE_PALLAS
 
 
+# Adjoint-mode (O(1)-residual) differentiation for the pure-XLA gate-chain
+# paths (sim/adjoint.py — the wide-circuit analogue of lightning.qubit's
+# diff_method="adjoint", reference nn/qdense.py:237). The backward
+# reconstructs intermediate states through inverse gates instead of letting
+# autodiff store every one (O(L*k*wires) states of (batch, 2**w) — the
+# residuals, not the live state, are what caps trainable wire counts).
+# * "auto": adjoint on the wide gate-level routes (where the Pallas kernels
+#   can't compile and residual memory is the binding constraint);
+# * "on":   adjoint on every eligible gate-chain path (incl. the CPU/x64
+#   parity fallbacks);
+# * "off":  plain autodiff everywhere (A/B + debugging).
+_ADJOINT_MODE = "auto"
+
+
+def set_adjoint_mode(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(mode)
+    global _ADJOINT_MODE
+    _ADJOINT_MODE = mode
+
+
+def adjoint_mode() -> str:
+    return _ADJOINT_MODE
+
+
 # Density-backend all-wires channel application strategy:
 # * "perwire": the closed-form per-wire block pass (elementwise mask + one
 #   block add per wire) — few FLOPs, 2 small VPU ops per wire;

@@ -149,6 +149,19 @@ def _batch_traced(*xs) -> bool:
     return any(isinstance(x, BatchTracer) for x in xs)
 
 
+def _use_adjoint(wires: int) -> bool:
+    """Adjoint-mode routing (config.adjoint_mode): "on" everywhere,
+    "off" nowhere, "auto" on the wide regime the Pallas kernels can't
+    reach — there autodiff's per-gate state residuals are the memory
+    ceiling and the adjoint reverse-walk removes them (sim/adjoint.py)."""
+    mode = _config.adjoint_mode()
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return wires > _config.pallas_max_wires()
+
+
 def _sel_small_batch(states, w, imprimitive: str, cdtype):
     """Small-batch SEL application (batch < 2**wires): the fused Pallas
     SEL-chain kernel on TPU/complex64 (states stay VMEM-resident for the
@@ -172,6 +185,10 @@ def _sel_small_batch(states, w, imprimitive: str, cdtype):
         mats = rot_matrix(w[..., 0], w[..., 1], w[..., 2])
         return sel_chain_pallas(states, mats, w.shape[1],
                                 imprimitive=imprimitive).astype(cdtype)
+    if _use_adjoint(w.shape[1]):
+        from .adjoint import sel_chain_adjoint
+
+        return sel_chain_adjoint(states, w, imprimitive=imprimitive)
     from .sel import sel_apply_gates
 
     return sel_apply_gates(states, w, imprimitive=imprimitive)
@@ -362,6 +379,22 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         # On TPU the assembly is MXU work and stays the better trade.
         if not compose and (wires > _config.pallas_max_wires()
                             or (not on_tpu and wires >= 9)):
+            # This branch IS the resource-bound regime, so adjoint-mode
+            # differentiation applies here whenever it isn't forced off:
+            # autodiff through the scan below stores every intermediate
+            # state (L*k*w of them) while the adjoint backward
+            # reconstructs them through inverse gates (sim/adjoint.py) —
+            # same math, O(1) residuals, which is what lets 16+-wire
+            # differN configs train single-chip at all.
+            if _config.adjoint_mode() != "off":
+                from .adjoint import reupload_chain_adjoint
+
+                states = reupload_chain_adjoint(
+                    x_enc, block_weights, encode=encode,
+                    imprimitive=imprimitive, cdtype=cdtype)
+                if readout == "probs":
+                    return probs(states)
+                return expval_z(states)
             from .sel import sel_apply_gates
 
             states = zero_state(batch, wires, dtype=cdtype)
