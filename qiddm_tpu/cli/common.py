@@ -84,8 +84,10 @@ def build_parser(description: str, *, default_models, default_data: str,
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu",
                    choices=["cpu", "cuda", "tpu"],
-                   help="Accepted for reference-CLI parity; JAX picks the "
-                        "available backend.")
+                   help="Reference-CLI parity (src/mnist_exm.py device "
+                        "select). 'cpu' pins the JAX platform to CPU — "
+                        "useful when the TPU tunnel is unreachable; 'cuda' "
+                        "and 'tpu' leave JAX on its default backend.")
     p.add_argument("--tau", type=int, default=default_tau)
     p.add_argument("--ds-size", type=int, default=default_ds_size,
                    help="Dataset size. 80%% is used for training.")
@@ -572,6 +574,20 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15,
     return all_scores
 
 
+def _pin_cpu_if_requested(args) -> None:
+    """--device cpu: re-pin the JAX platform past the axon sitecustomize
+    override (same dance as tests/conftest.py; harmless once a backend is
+    live — jax raises and we leave the current one in place)."""
+    if getattr(args, "device", None) != "cpu":
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def run_labels(args, labels, *, augment_to: Optional[int] = None,
                add_noise_range=range(0, 1), tau_test: int = 15,
                protocol: ScoreProtocol = MNIST_PROTOCOL):
@@ -579,6 +595,7 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
     label, load data, split, per model: build -> resume -> train -> test ->
     metrics; plot loss/SSIM/PSNR/cosine curves."""
     validate_args(args)
+    _pin_cpu_if_requested(args)
     if getattr(args, "vmap_labels", False):
         return run_labels_vmapped(args, labels, tau_test=tau_test,
                                   augment_to=augment_to,

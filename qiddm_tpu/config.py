@@ -18,6 +18,21 @@ import jax.numpy as jnp
 _X64 = False
 
 
+# The axon TPU plugin registers itself from sitecustomize at interpreter
+# start and pins the platform to the TPU, which silently overrides a user's
+# JAX_PLATFORMS=cpu — observed as drivers/tools hanging on backend init
+# whenever the TPU tunnel is unreachable even though CPU was requested.
+# Restore standard JAX semantics: an explicit JAX_PLATFORMS that does not
+# name axon wins. (tests/conftest.py does the same re-pin for the suite.)
+_want_platform = os.environ.get("JAX_PLATFORMS")
+if _want_platform and "axon" not in _want_platform:
+    try:
+        jax.config.update("jax_platforms", _want_platform)
+    except Exception:
+        pass
+del _want_platform
+
+
 # --- persistent compilation cache -------------------------------------------
 # Driver walls are compile-dominated (a multi-epoch scan program compiles in
 # 20-100 s on the axon backend, then runs in seconds), and the reference's own
