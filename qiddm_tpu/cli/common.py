@@ -134,7 +134,11 @@ def build_parser(description: str, *, default_models, default_data: str,
 
 
 def validate_args(args) -> None:
-    """Fail fast on unknown model/dataset names (before any device work)."""
+    """Fail fast on unknown model/dataset names, and honor --device cpu —
+    both must happen before any device work, and every driver entry point
+    (run_labels, run_labels_vmapped, noise_common.run_noise_sweep) funnels
+    through here."""
+    _pin_cpu_if_requested(args)
     for m in args.model:
         if m[0] not in MODEL_REGISTRY:
             raise SystemExit(f"unknown model {m[0]!r}; available: "
@@ -576,16 +580,19 @@ def run_labels_vmapped(args, labels, *, tau_test: int = 15,
 
 def _pin_cpu_if_requested(args) -> None:
     """--device cpu: re-pin the JAX platform past the axon sitecustomize
-    override (same dance as tests/conftest.py; harmless once a backend is
-    live — jax raises and we leave the current one in place)."""
+    override (same dance as tests/conftest.py)."""
     if getattr(args, "device", None) != "cpu":
         return
+    import warnings
+
     import jax
 
     try:
         jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    except Exception as e:  # backend already initialized: pin can't apply
+        warnings.warn(
+            f"--device cpu requested but the JAX platform pin failed "
+            f"({e}); continuing on the already-initialized backend")
 
 
 def run_labels(args, labels, *, augment_to: Optional[int] = None,
@@ -595,7 +602,6 @@ def run_labels(args, labels, *, augment_to: Optional[int] = None,
     label, load data, split, per model: build -> resume -> train -> test ->
     metrics; plot loss/SSIM/PSNR/cosine curves."""
     validate_args(args)
-    _pin_cpu_if_requested(args)
     if getattr(args, "vmap_labels", False):
         return run_labels_vmapped(args, labels, tau_test=tau_test,
                                   augment_to=augment_to,

@@ -28,8 +28,16 @@ _want_platform = os.environ.get("JAX_PLATFORMS")
 if _want_platform and "axon" not in _want_platform:
     try:
         jax.config.update("jax_platforms", _want_platform)
-    except Exception:
-        pass
+    except Exception as _e:
+        # a backend is already live (jax was used before importing
+        # qiddm_tpu): the pin can't apply — say so instead of letting the
+        # user's explicit platform request silently vanish
+        import warnings
+
+        warnings.warn(
+            f"JAX_PLATFORMS={_want_platform!r} could not be re-pinned past "
+            f"the TPU plugin override ({_e}); the already-initialized "
+            f"backend stays active")
 del _want_platform
 
 

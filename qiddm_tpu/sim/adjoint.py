@@ -38,7 +38,10 @@ Covers the two chain shapes the engine needs:
 
 Both scan over the layer axis with the per-layer ring rows riding the scan
 as inputs, so program size is O(k * wires) — constant in depth/L, matching
-the forward-only paths they replace.
+the forward-only paths they replace. The ring rows are static per
+(L, k, wires, imprimitive) and live in the closure of a cached custom-VJP
+factory (``_make_chain``) — they are never differentiated, and CNOT
+permutations stay exact int32 at any width.
 """
 
 from __future__ import annotations
@@ -56,60 +59,44 @@ from .statevector import apply_1q
 
 
 def _ring_rows(L: int, k: int, wires: int, imprimitive: str,
-               full_cycle: bool) -> np.ndarray:
-    """Per-(layer, sublayer) ring data as a dense float array.
+               full_cycle: bool):
+    """Static per-(layer, sublayer) ring data.
 
-    Returns (L, k, 2, d) float32: [..., 0, :] realizes the ring forward,
-    [..., 1, :] undoes it (CZ: signs, self-inverse so both slots equal;
-    CNOT: the fwd row-gather and its inverse permutation — used both to
-    undo the state and to transpose the cotangent). ``full_cycle`` makes
-    the imprimitive range cycle across the whole L*k chain (one deep SEL
-    template, sel_apply_gates semantics); otherwise it restarts every
-    spectrum layer (the reference instantiates a fresh SEL template per
-    re-uploading layer, nn/qdense.py:1302-1305). Float dtype keeps the
-    custom-VJP signature all-float (zero cotangents instead of float0);
-    CNOT rows are cast back to int32 at the gather.
+    Returns ``(kind, fwd, bwd)``: for CZ, (L, k, d) float64 sign rows with
+    fwd == bwd (the ring is a self-inverse real diagonal); for CNOT,
+    (L, k, d) int32 rows — fwd the row-gather realizing the ring, bwd its
+    inverse permutation (used both to undo the state and to transpose the
+    cotangent). ``full_cycle`` makes the imprimitive range cycle across the
+    whole L*k chain (one deep SEL template, sel_apply_gates semantics);
+    otherwise it restarts every spectrum layer (the reference instantiates
+    a fresh SEL template per re-uploading layer, nn/qdense.py:1302-1305).
     """
     if wires == 1:
-        return np.zeros((L, k, 2, 1), dtype=np.float32)
+        return ("none", None, None)
     if full_cycle:
         ranges = np.asarray(sel_ranges(L * k, wires)).reshape(L, k)
     else:
         ranges = np.tile(np.asarray(sel_ranges(k, wires)), (L, 1))
-    rows = np.empty((L, k, 2, 2**wires), dtype=np.float32)
-    for l in range(L):
-        for li in range(k):
-            r = int(ranges[l, li])
-            if imprimitive == "cz":
-                s = cz_ring_signs(wires, r)
-                rows[l, li, 0] = rows[l, li, 1] = s
-            elif imprimitive == "cnot":
-                fwd = cnot_ring_perm(wires, r)
-                rows[l, li, 0] = fwd
-                rows[l, li, 1] = np.argsort(fwd)
-            else:
-                raise ValueError(f"unknown imprimitive {imprimitive!r}")
-    return rows
+    if imprimitive == "cz":
+        signs = np.stack([np.stack([cz_ring_signs(wires, int(r))
+                                    for r in row]) for row in ranges])
+        return ("cz", signs, signs)
+    if imprimitive == "cnot":
+        fwd = np.stack([np.stack([cnot_ring_perm(wires, int(r))
+                                  for r in row]) for row in ranges])
+        bwd = np.argsort(fwd, axis=-1)
+        return ("cnot", fwd.astype(np.int32), bwd.astype(np.int32))
+    raise ValueError(f"unknown imprimitive {imprimitive!r}")
 
 
-def _ring_fwd(states, row, kind: str):
-    """Apply one ring row forward. row: (2, d) — slot 0 is the fwd form."""
-    if kind == "none":
-        return states
+def _apply_ring(states, row, kind: str):
+    """Apply one ring row: CZ sign multiply or CNOT permutation gather.
+    The same op serves forward (fwd row), state undo (bwd row), and
+    cotangent transpose (bwd row) — CZ diagonals are real self-inverse,
+    and a permutation's transpose equals its inverse permutation."""
     if kind == "cz":
-        return states * row[0].astype(states.dtype)[None, :]
-    return jnp.take(states, row[0].astype(jnp.int32), axis=1)
-
-
-def _ring_bwd(arr, row, kind: str):
-    """Undo the ring on a state OR transpose it on a cotangent — the same
-    array op for both (CZ diagonal is real self-inverse; permutation
-    transpose == inverse permutation). Slot 1 is the undo form."""
-    if kind == "none":
-        return arr
-    if kind == "cz":
-        return arr * row[1].astype(arr.dtype)[None, :]
-    return jnp.take(arr, row[1].astype(jnp.int32), axis=1)
+        return states * row.astype(states.dtype)[None, :]
+    return jnp.take(states, row, axis=1)
 
 
 def _pair_dg(ct, s_in, wire: int, wires: int):
@@ -168,64 +155,71 @@ def _enc_bwd(s, c, d_enc, enc, encode_kind: str, wires: int):
     return s, c, d_enc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _chain(states0, enc, mats, ring, encode_kind: str, ring_kind: str):
-    """L x [encode -> k x (wire rotations -> ring)] on a state batch.
+@functools.lru_cache(maxsize=None)
+def _make_chain(L: int, k: int, wires: int, imprimitive: str,
+                encode_kind: str, full_cycle: bool):
+    """Build the custom-VJP chain program for one static configuration.
 
+    The returned function maps ``(states0, enc, mats) -> states`` where
     states0: (B, 2**w); enc: (B, 2**w) RZ phases | (B, w, 2, 2) RY gates |
-    a 0-size placeholder for "none"; mats: (L, k, w, 2, 2);
-    ring: (L, k, 2, d) float rows from ``_ring_rows`` (zero cotangent).
+    a 0-size placeholder for "none"; mats: (L, k, w, 2, 2). Ring rows are
+    closure constants (never differentiated); caching keeps one function
+    object per configuration so jit caches compiled programs across calls.
     """
-    return _chain_fwd_impl(states0, enc, mats, ring, encode_kind, ring_kind)
+    ring_kind, fwd_np, bwd_np = _ring_rows(L, k, wires, imprimitive,
+                                           full_cycle)
 
+    def fwd_impl(states0, enc, mats):
+        def body(s, xs):
+            mats_l, fwd_l = xs  # (k, w, 2, 2), (k, d) | None
+            s = _enc_fwd(s, enc, encode_kind, wires)
+            for li in range(k):
+                for j in range(wires):
+                    s = apply_1q(s, mats_l[li, j], j, wires)
+                if ring_kind != "none":
+                    s = _apply_ring(s, fwd_l[li], ring_kind)
+            return s, None
 
-def _chain_fwd_impl(states0, enc, mats, ring, encode_kind, ring_kind):
-    k, wires = mats.shape[1], mats.shape[2]
+        fwd_rows = None if ring_kind == "none" else jnp.asarray(fwd_np)
+        s, _ = jax.lax.scan(body, states0, (mats, fwd_rows))
+        return s
 
-    def body(s, xs):
-        mats_l, ring_l = xs  # (k, w, 2, 2), (k, 2, d)
-        s = _enc_fwd(s, enc, encode_kind, wires)
-        for li in range(k):
-            for j in range(wires):
-                s = apply_1q(s, mats_l[li, j], j, wires)
-            s = _ring_fwd(s, ring_l[li], ring_kind)
-        return s, None
+    @jax.custom_vjp
+    def chain(states0, enc, mats):
+        return fwd_impl(states0, enc, mats)
 
-    s, _ = jax.lax.scan(body, states0, (mats, ring))
-    return s
+    def chain_fwd(states0, enc, mats):
+        out = fwd_impl(states0, enc, mats)
+        return out, (out, enc, mats)
 
+    def chain_bwd(res, ct):
+        out, enc, mats = res
+        d_enc0 = jnp.zeros_like(enc)
 
-def _chain_fwd(states0, enc, mats, ring, encode_kind, ring_kind):
-    out = _chain_fwd_impl(states0, enc, mats, ring, encode_kind, ring_kind)
-    return out, (out, enc, mats, ring)
+        def body(carry, xs):
+            mats_l, bwd_l = xs
+            s, c, d_enc = carry
+            dm_l = jnp.zeros_like(mats_l)
+            for li in range(k - 1, -1, -1):
+                if ring_kind != "none":
+                    s = _apply_ring(s, bwd_l[li], ring_kind)
+                    c = _apply_ring(c, bwd_l[li], ring_kind)
+                for j in range(wires - 1, -1, -1):
+                    g = mats_l[li, j]
+                    s = apply_1q(s, _adj(g), j, wires)  # reconstruct input
+                    dm_l = dm_l.at[li, j].set(_pair_dg(c, s, j, wires))
+                    c = apply_1q(c, g.T, j, wires)  # unconjugated transpose
+            s, c, d_enc = _enc_bwd(s, c, d_enc, enc, encode_kind, wires)
+            return (s, c, d_enc), dm_l
 
+        bwd_rows = (None if ring_kind == "none"
+                    else jnp.asarray(bwd_np)[::-1])
+        (s0, c0, d_enc), dms = jax.lax.scan(
+            body, (out, ct, d_enc0), (mats[::-1], bwd_rows))
+        return c0, d_enc, dms[::-1]
 
-def _chain_bwd(encode_kind, ring_kind, res, ct):
-    out, enc, mats, ring = res
-    k, wires = mats.shape[1], mats.shape[2]
-    d_enc0 = jnp.zeros_like(enc)
-
-    def body(carry, xs):
-        mats_l, ring_l = xs
-        s, c, d_enc = carry
-        dm_l = jnp.zeros_like(mats_l)
-        for li in range(k - 1, -1, -1):
-            s = _ring_bwd(s, ring_l[li], ring_kind)
-            c = _ring_bwd(c, ring_l[li], ring_kind)
-            for j in range(wires - 1, -1, -1):
-                g = mats_l[li, j]
-                s = apply_1q(s, _adj(g), j, wires)  # reconstruct input state
-                dm_l = dm_l.at[li, j].set(_pair_dg(c, s, j, wires))
-                c = apply_1q(c, g.T, j, wires)  # unconjugated transpose
-        s, c, d_enc = _enc_bwd(s, c, d_enc, enc, encode_kind, wires)
-        return (s, c, d_enc), dm_l
-
-    (s0, c0, d_enc), dms = jax.lax.scan(
-        body, (out, ct, d_enc0), (mats[::-1], ring[::-1]))
-    return c0, d_enc, dms[::-1], jnp.zeros_like(ring)
-
-
-_chain.defvjp(_chain_fwd, _chain_bwd)
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
 
 
 def sel_chain_adjoint(states, weights, imprimitive: str = "cnot"):
@@ -239,11 +233,10 @@ def sel_chain_adjoint(states, weights, imprimitive: str = "cnot"):
     depth, wires, _ = weights.shape
     mats = rot_matrix(weights[..., 0], weights[..., 1],
                       weights[..., 2]).astype(states.dtype)
-    ring_kind = "none" if wires == 1 else imprimitive
-    ring = jnp.asarray(_ring_rows(depth, 1, wires, imprimitive,
-                                  full_cycle=True))
+    chain = _make_chain(depth, 1, wires, imprimitive, "none",
+                        full_cycle=True)
     enc = jnp.zeros((0,), states.dtype)  # "none" placeholder
-    return _chain(states, enc, mats[:, None], ring, "none", ring_kind)
+    return chain(states, enc, mats[:, None])
 
 
 def reupload_chain_adjoint(x_enc, block_weights, *, encode: str = "rz",
@@ -256,7 +249,7 @@ def reupload_chain_adjoint(x_enc, block_weights, *, encode: str = "rz",
     template per layer, nn/qdense.py:1302-1305). Returns final states
     (B, 2**w); gradients flow to x_enc and block_weights.
     """
-    from .statevector import rz_phases, zero_state
+    from .statevector import ry_gates, rz_phases, zero_state
 
     L, k, wires, _ = block_weights.shape
     batch = x_enc.shape[0]
@@ -264,20 +257,14 @@ def reupload_chain_adjoint(x_enc, block_weights, *, encode: str = "rz",
     mats = rot_matrix(flat[..., 0], flat[..., 1],
                       flat[..., 2]).astype(cdtype)
     mats = mats.reshape(L, k, wires, 2, 2)
-    ring_kind = "none" if wires == 1 else imprimitive
-    ring = jnp.asarray(_ring_rows(L, k, wires, imprimitive,
-                                  full_cycle=False))
     states0 = zero_state(batch, wires, dtype=cdtype)
     if encode in ("rz", "rz_halfpi"):
         enc = rz_phases(x_enc, wires).astype(cdtype)
         kind = "rz"
     elif encode == "ry":
-        c = jnp.cos(x_enc / 2)
-        s = jnp.sin(x_enc / 2)
-        enc = jnp.stack(
-            [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)],
-            axis=-2).astype(cdtype)  # (B, wires, 2, 2)
+        enc = ry_gates(x_enc, dtype=cdtype)  # (B, wires, 2, 2)
         kind = "ry"
     else:
         raise ValueError(f"unknown encode {encode!r}")
-    return _chain(states0, enc, mats, ring, kind, ring_kind)
+    chain = _make_chain(L, k, wires, imprimitive, kind, full_cycle=False)
+    return chain(states0, enc, mats)

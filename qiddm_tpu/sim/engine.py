@@ -149,17 +149,21 @@ def _batch_traced(*xs) -> bool:
     return any(isinstance(x, BatchTracer) for x in xs)
 
 
-def _use_adjoint(wires: int) -> bool:
+def _use_adjoint(wires: int, on_tpu: bool) -> bool:
     """Adjoint-mode routing (config.adjoint_mode): "on" everywhere,
-    "off" nowhere, "auto" on the wide regime the Pallas kernels can't
-    reach — there autodiff's per-gate state residuals are the memory
-    ceiling and the adjoint reverse-walk removes them (sim/adjoint.py)."""
+    "off" nowhere, "auto" on the wide gate-level regime — beyond the
+    Pallas width cap on TPU, and from the off-TPU wide threshold where
+    the engine already prefers gate-level application. There autodiff's
+    per-gate state residuals are the memory ceiling and the adjoint
+    reverse-walk removes them (sim/adjoint.py). The single definition of
+    the policy: every gate-chain call site routes through this."""
     mode = _config.adjoint_mode()
     if mode == "on":
         return True
     if mode == "off":
         return False
-    return wires > _config.pallas_max_wires()
+    return (wires > _config.pallas_max_wires()
+            or (not on_tpu and wires >= 9))
 
 
 def _sel_small_batch(states, w, imprimitive: str, cdtype):
@@ -185,7 +189,7 @@ def _sel_small_batch(states, w, imprimitive: str, cdtype):
         mats = rot_matrix(w[..., 0], w[..., 1], w[..., 2])
         return sel_chain_pallas(states, mats, w.shape[1],
                                 imprimitive=imprimitive).astype(cdtype)
-    if _use_adjoint(w.shape[1]):
+    if _use_adjoint(w.shape[1], jax.default_backend() == "tpu"):
         from .adjoint import sel_chain_adjoint
 
         return sel_chain_adjoint(states, w, imprimitive=imprimitive)
@@ -377,24 +381,24 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         # step) is catastrophic — a differN (L=15, 10 wires) CPU training
         # step pays ~64 GFLOP assembling unitaries vs ~3 MFLOP gate-level.
         # On TPU the assembly is MXU work and stays the better trade.
+        # Adjoint-mode differentiation for the gate-level regime: autodiff
+        # through the scan below stores every intermediate state (L*k*w of
+        # them) while the adjoint backward reconstructs them through
+        # inverse gates (sim/adjoint.py) — same math, O(1) residuals,
+        # which is what lets 16+-wire differN configs train single-chip
+        # at all. "auto" engages exactly where the gate-level paths run
+        # (_use_adjoint); "on" forces it at any width (A/B, tests).
+        if not compose and _use_adjoint(wires, on_tpu):
+            from .adjoint import reupload_chain_adjoint
+
+            states = reupload_chain_adjoint(
+                x_enc, block_weights, encode=encode,
+                imprimitive=imprimitive, cdtype=cdtype)
+            if readout == "probs":
+                return probs(states)
+            return expval_z(states)
         if not compose and (wires > _config.pallas_max_wires()
                             or (not on_tpu and wires >= 9)):
-            # This branch IS the resource-bound regime, so adjoint-mode
-            # differentiation applies here whenever it isn't forced off:
-            # autodiff through the scan below stores every intermediate
-            # state (L*k*w of them) while the adjoint backward
-            # reconstructs them through inverse gates (sim/adjoint.py) —
-            # same math, O(1) residuals, which is what lets 16+-wire
-            # differN configs train single-chip at all.
-            if _config.adjoint_mode() != "off":
-                from .adjoint import reupload_chain_adjoint
-
-                states = reupload_chain_adjoint(
-                    x_enc, block_weights, encode=encode,
-                    imprimitive=imprimitive, cdtype=cdtype)
-                if readout == "probs":
-                    return probs(states)
-                return expval_z(states)
             from .sel import sel_apply_gates
 
             states = zero_state(batch, wires, dtype=cdtype)

@@ -136,17 +136,26 @@ def apply_1q(states, gate, wire: int, wires: int):
     return out.reshape(b, -1)
 
 
+def ry_gates(x, dtype=jnp.complex64):
+    """RY gate matrices for per-sample angles: (B, wires) -> (B, wires, 2, 2).
+
+    The single definition of the RY layout — apply_ry_all and the adjoint
+    encode path (sim/adjoint.py) both build from here so a convention
+    change cannot silently diverge between them."""
+    c = jnp.cos(x / 2)
+    s = jnp.sin(x / 2)
+    return jnp.stack(
+        [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)],
+        axis=-2).astype(dtype)
+
+
 def apply_ry_all(states, x):
     """Apply RY(x[:, j]) to every wire j (mid-circuit Y re-uploading,
     reference nn/qdense.py:602)."""
     wires = int(math.log2(states.shape[-1]))
+    gates = ry_gates(x, dtype=states.dtype)
     for j in range(wires):
-        c = jnp.cos(x[:, j] / 2)
-        s = jnp.sin(x[:, j] / 2)
-        gate = jnp.stack(
-            [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
-        ).astype(states.dtype)
-        states = apply_1q(states, gate, j, wires)
+        states = apply_1q(states, gates[:, j], j, wires)
     return states
 
 

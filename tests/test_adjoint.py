@@ -148,9 +148,13 @@ def test_x64_parity():
 # engine routing
 # ---------------------------------------------------------------------------
 
-def test_engine_adjoint_mode_on_matches_off():
+def test_engine_adjoint_mode_on_matches_off(monkeypatch):
     """set_adjoint_mode('on') routes qdense + reupload through the adjoint
-    chains; outputs and grads must match plain autodiff exactly."""
+    chains EVEN at narrow widths (asserted via spies, so this can't
+    silently become a vacuous same-path comparison); outputs and grads
+    must match plain autodiff exactly."""
+    import qiddm_tpu.sim.adjoint as adjoint_mod
+
     B, w = 5, 4
     x = jnp.asarray(RNG.uniform(size=(B, 2**w)), jnp.float32)
     wq_d = jnp.asarray(RNG.normal(size=(6, w, 3)) * 0.4, jnp.float32)
@@ -162,6 +166,21 @@ def test_engine_adjoint_mode_on_matches_off():
 
     def ru_loss(wq):
         return jnp.sum(sim.reupload_block(xe, wq, readout="expvalz") ** 2)
+
+    calls = {"sel": 0, "reupload": 0}
+    real_sel = adjoint_mod.sel_chain_adjoint
+    real_reup = adjoint_mod.reupload_chain_adjoint
+
+    def spy_sel(*a, **kw):
+        calls["sel"] += 1
+        return real_sel(*a, **kw)
+
+    def spy_reup(*a, **kw):
+        calls["reupload"] += 1
+        return real_reup(*a, **kw)
+
+    monkeypatch.setattr(adjoint_mod, "sel_chain_adjoint", spy_sel)
+    monkeypatch.setattr(adjoint_mod, "reupload_chain_adjoint", spy_reup)
 
     outs = {}
     for mode in ("off", "on"):
@@ -175,21 +194,27 @@ def test_engine_adjoint_mode_on_matches_off():
             )
         finally:
             config.set_adjoint_mode("auto")
+        if mode == "off":
+            assert calls == {"sel": 0, "reupload": 0}, calls
+    assert calls["sel"] > 0 and calls["reupload"] > 0, calls
     for a, b in zip(outs["off"], outs["on"]):
         np.testing.assert_allclose(b, a, atol=2e-5)
 
 
 def test_auto_mode_targets_wide_regime(monkeypatch):
-    """In "auto", the adjoint route engages exactly where the Pallas
-    kernels can't compile (wires > pallas_max_wires)."""
+    """In "auto", the adjoint route engages exactly on the gate-level wide
+    regime: past the Pallas width cap on TPU, from the off-TPU wide
+    threshold (wires >= 9) elsewhere."""
     from qiddm_tpu.sim.engine import _use_adjoint
 
     assert config.adjoint_mode() == "auto"
-    assert not _use_adjoint(config.pallas_max_wires())
-    assert _use_adjoint(config.pallas_max_wires() + 1)
+    assert not _use_adjoint(config.pallas_max_wires(), True)
+    assert _use_adjoint(config.pallas_max_wires() + 1, True)
+    assert _use_adjoint(9, False)
+    assert not _use_adjoint(8, False)
     config.set_adjoint_mode("off")
     try:
-        assert not _use_adjoint(config.pallas_max_wires() + 1)
+        assert not _use_adjoint(config.pallas_max_wires() + 1, True)
     finally:
         config.set_adjoint_mode("auto")
 
