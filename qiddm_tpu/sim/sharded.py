@@ -165,7 +165,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                           imprimitive: str = "cz", encode: str = "rz",
                           readout: str = "expvalz", dtype=jnp.complex64,
                           noise_kind: str | None = None,
-                          noise_placement: str = "encode"):
+                          noise_placement: str = "encode",
+                          adjoint: bool = False):
     """Batched re-uploading block over the mesh — the engine's
     ``reupload_block`` semantics (L x (per-wire encode -> SEL(k))) for
     statevectors too large for one chip.
@@ -189,6 +190,10 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     (layer, wire). Trajectory averaging is the CALLER's axis (tile the
     batch, mean after) — this composes noise with wire counts neither the
     reference nor any density-matrix backend can reach.
+
+    ``adjoint`` (clean path only) swaps plain autodiff for the O(1)-residual
+    adjoint backward — see ``body_adjoint`` below. This is the default via
+    the engine route (config.adjoint_mode != "off").
     """
     if encode not in ("rz", "rz_halfpi", "ry"):
         raise NotImplementedError(
@@ -380,9 +385,301 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                     p.dtype)))
         return jax.lax.psum(jnp.stack(out, axis=1), axis)
 
+    def body_adjoint(x_enc, weights):
+        """The clean chain with an ADJOINT-mode custom VJP (sim/adjoint.py
+        semantics on the distributed state): the backward reconstructs the
+        sharded statevector through inverse gates instead of letting
+        autodiff store every intermediate — O(L*k*wires) saved
+        (B, dim_local)-per-device states drop to O(1), which matters most
+        exactly here (the mesh path exists for states too large for one
+        chip). Communication in the backward: per sharded-wire gate, one
+        ppermute to rebuild the input state (the partner's half of the
+        input is then computable locally for the gate cotangent) and one
+        to transpose the cotangent; CZ rings and RZ encodes stay
+        comm-free. Per-device gate-cotangent PARTIALS are returned raw —
+        shard_map's replication transpose psums them at the region
+        boundary (weights/x_enc ride in as P()).
+        """
+        B = x_enc.shape[0]
+        cplx = jnp.dtype(dtype)
+
+        def bit_of_dev(j):
+            # axis_index is taken at USE time, never closed over: the
+            # custom-VJP fwd/bwd below may not capture tracers from this
+            # surrounding shard_map trace ("no constant handler" at
+            # jaxpr-ing time), and a fresh axis_index inside their own
+            # traces is free
+            dev = jax.lax.axis_index(axis)
+            return (dev >> (s_bits - 1 - j)) & 1
+
+        def global_bits(j):
+            if j < s_bits:
+                return bit_of_dev(j)
+            pos = local_wires - 1 - (j - s_bits)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (dim_local,), 0)
+            return (idx >> pos) & 1
+
+        def pair_swap(arr, j):
+            bit = 1 << (s_bits - 1 - j)
+            perm = [(i, i ^ bit) for i in range(n_dev)]
+            return jax.lax.ppermute(arr, axis, perm)
+
+        def shaped(arr, j):
+            tl = j - s_bits
+            left = 2**tl
+            right = 2 ** (local_wires - tl - 1)
+            return arr.reshape(B, left, 2, right)
+
+        def g_fwd(local, g, j):
+            if j >= s_bits:
+                out = jnp.einsum("xy,blyr->blxr", g, shaped(local, j))
+                return out.reshape(B, -1)
+            other = pair_swap(local, j)
+            b = bit_of_dev(j)
+            mine0 = g[0, 0] * local + g[0, 1] * other
+            mine1 = g[1, 0] * other + g[1, 1] * local
+            return jnp.where(b == 0, mine0, mine1)
+
+        def g_fwd_batched(local, g, j):  # g: (B, 2, 2) per-sample
+            if j >= s_bits:
+                out = jnp.einsum("bxy,blyr->blxr", g, shaped(local, j))
+                return out.reshape(B, -1)
+            other = pair_swap(local, j)
+            b = bit_of_dev(j)
+            mine0 = g[:, 0, 0, None] * local + g[:, 0, 1, None] * other
+            mine1 = g[:, 1, 0, None] * other + g[:, 1, 1, None] * local
+            return jnp.where(b == 0, mine0, mine1)
+
+        def g_bwd(s, c, g, j):
+            """Reverse one shared 1q gate: reconstruct the input state
+            (U^H), transpose the cotangent (U^T, unconjugated), emit this
+            device's partial of dU = sum c_out (x) s_in."""
+            if j >= s_bits:
+                s_in = jnp.einsum("yx,blyr->blxr", jnp.conj(g),
+                                  shaped(s, j)).reshape(B, -1)
+                du = jnp.einsum("blxr,blyr->xy", shaped(c, j),
+                                shaped(s_in, j))
+                c_in = jnp.einsum("yx,blyr->blxr", g,
+                                  shaped(c, j)).reshape(B, -1)
+                return s_in, c_in, du
+            so = pair_swap(s, j)
+            co = pair_swap(c, j)
+            b0 = bit_of_dev(j) == 0
+            gc = jnp.conj(g)
+            # own half of s_in (this device's y == its shard bit) and the
+            # PARTNER's half — both computable from (s, so) locally
+            s_in = jnp.where(b0, gc[0, 0] * s + gc[1, 0] * so,
+                             gc[0, 1] * so + gc[1, 1] * s)
+            s_in_partner = jnp.where(b0, gc[0, 1] * s + gc[1, 1] * so,
+                                     gc[0, 0] * so + gc[1, 0] * s)
+            c_in = jnp.where(b0, g[0, 0] * c + g[1, 0] * co,
+                             g[0, 1] * co + g[1, 1] * c)
+            own = jnp.sum(c * s_in)
+            cross = jnp.sum(c * s_in_partner)
+            zero = jnp.zeros_like(own)
+            du = jnp.stack([
+                jnp.stack([jnp.where(b0, own, zero),
+                           jnp.where(b0, cross, zero)]),
+                jnp.stack([jnp.where(b0, zero, cross),
+                           jnp.where(b0, zero, own)])])
+            return s_in, c_in, du
+
+        def g_bwd_batched(s, c, g, j):
+            """Reverse one per-sample 1q gate; du is (B, 2, 2)."""
+            if j >= s_bits:
+                s_in = jnp.einsum("byx,blyr->blxr", jnp.conj(g),
+                                  shaped(s, j)).reshape(B, -1)
+                du = jnp.einsum("blxr,blyr->bxy", shaped(c, j),
+                                shaped(s_in, j))
+                c_in = jnp.einsum("byx,blyr->blxr", g,
+                                  shaped(c, j)).reshape(B, -1)
+                return s_in, c_in, du
+            so = pair_swap(s, j)
+            co = pair_swap(c, j)
+            b0 = bit_of_dev(j) == 0
+            gc = jnp.conj(g)
+            s_in = jnp.where(
+                b0, gc[:, 0, 0, None] * s + gc[:, 1, 0, None] * so,
+                gc[:, 0, 1, None] * so + gc[:, 1, 1, None] * s)
+            s_in_partner = jnp.where(
+                b0, gc[:, 0, 1, None] * s + gc[:, 1, 1, None] * so,
+                gc[:, 0, 0, None] * so + gc[:, 1, 0, None] * s)
+            c_in = jnp.where(
+                b0, g[:, 0, 0, None] * c + g[:, 1, 0, None] * co,
+                g[:, 0, 1, None] * co + g[:, 1, 1, None] * c)
+            own = jnp.sum(c * s_in, axis=1)
+            cross = jnp.sum(c * s_in_partner, axis=1)
+            zero = jnp.zeros_like(own)
+            du = jnp.stack([
+                jnp.stack([jnp.where(b0, own, zero),
+                           jnp.where(b0, cross, zero)], axis=-1),
+                jnp.stack([jnp.where(b0, zero, cross),
+                           jnp.where(b0, zero, own)], axis=-1)], axis=-2)
+            return s_in, c_in, du
+
+        def cz_ring(arr, kk):
+            # self-inverse real diagonal: forward == undo == transpose
+            r = ranges[kk]
+            for j in range(wires):
+                t = (j + r) % wires
+                sign = 1.0 - 2.0 * (global_bits(j) * global_bits(t))
+                arr = arr * sign.astype(arr.real.dtype)
+            return arr
+
+        def cnot_one(arr, c_w, t):
+            cbits = jnp.broadcast_to(global_bits(c_w), (dim_local,))
+            if t >= s_bits:
+                st = shaped(arr, t)
+                flipped = st[:, :, ::-1, :].reshape(B, -1)
+                return jnp.where(cbits[None, :] == 1, flipped, arr)
+            other = pair_swap(arr, t)
+            return jnp.where(cbits[None, :] == 1, other, arr)
+
+        def cnot_ring(arr, kk, reverse: bool):
+            # each CNOT is self-inverse and orthogonal (permutation), but
+            # the ring is SEQUENTIAL: undo and transpose both walk it in
+            # reverse gate order
+            r = ranges[kk]
+            order = range(wires - 1, -1, -1) if reverse else range(wires)
+            for j in order:
+                arr = cnot_one(arr, j, (j + r) % wires)
+            return arr
+
+        def ring_fwd(arr, kk):
+            if wires == 1:
+                return arr
+            if imprimitive == "cz":
+                return cz_ring(arr, kk)
+            return cnot_ring(arr, kk, reverse=False)
+
+        def ring_bwd(arr, kk):
+            if wires == 1:
+                return arr
+            if imprimitive == "cz":
+                return cz_ring(arr, kk)
+            return cnot_ring(arr, kk, reverse=True)
+
+        x = x_enc
+        if encode == "rz_halfpi":
+            x = (jnp.pi * 0.5) * x
+
+        if encode == "ry":
+            from .statevector import ry_gates
+
+            enc = ry_gates(x, dtype=cplx)  # (B, wires, 2, 2)
+        else:
+            # per-device RZ phase plane (B, dim_local), same construction
+            # as the plain body — built OUTSIDE the custom VJP so its
+            # pullback onto x runs under plain local autodiff
+            rdt = jnp.float64 if cplx == jnp.complex128 else jnp.float32
+            ang = jnp.zeros((B,), rdt)
+            for j in range(s_bits):
+                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(rdt)
+                ang = ang - 0.5 * sign * x[:, j].astype(rdt)
+            ang_local = -0.5 * jnp.matmul(x[:, s_bits:].astype(rdt),
+                                          signs_local.T.astype(rdt))
+            total = ang[:, None] + ang_local
+            enc = jnp.exp(1j * total.astype(cplx))
+
+        def enc_fwd(local, enc):
+            if encode == "ry":
+                for j in range(wires):
+                    local = g_fwd_batched(local, enc[:, j], j)
+                return local
+            return local * enc
+
+        def enc_bwd(s, c, d_enc, enc):
+            if encode == "ry":
+                for j in range(wires - 1, -1, -1):
+                    s, c, du = g_bwd_batched(s, c, enc[:, j], j)
+                    d_enc = d_enc.at[:, j].add(du)
+                return s, c, d_enc
+            s_in = s * jnp.conj(enc)  # unit phases: conj == inverse
+            d_enc = d_enc + c * s_in
+            return s_in, c * enc, d_enc
+
+        def chain_impl(local0, enc, mats_all):
+            def layer(local, mats_l):  # mats_l: (k, wires, 2, 2)
+                local = enc_fwd(local, enc)
+                for kk in range(k):
+                    for j in range(wires):
+                        local = g_fwd(local, mats_l[kk, j], j)
+                    local = ring_fwd(local, kk)
+                return local, None
+
+            out, _ = jax.lax.scan(layer, local0, mats_all)
+            return out
+
+        @jax.custom_vjp
+        def chain(local0, enc, mats_all):
+            return chain_impl(local0, enc, mats_all)
+
+        def chain_fwd(local0, enc, mats_all):
+            out = chain_impl(local0, enc, mats_all)
+            return out, (out, enc, mats_all)
+
+        def chain_bwd(res, ct):
+            out, enc, mats_all = res
+            d_enc0 = jnp.zeros_like(enc)
+            if encode == "ry":
+                # enc (ry_gates of the replicated x) is replicated, but the
+                # accumulated cotangent is device-varying until the final
+                # psum — cast the carry so the scan types line up
+                d_enc0 = jax.lax.pcast(d_enc0, (axis,), to="varying")
+
+            def layer(carry, mats_l):
+                s, c, d_enc = carry
+                dm_l = jnp.zeros_like(mats_l)
+                for kk in range(k - 1, -1, -1):
+                    s = ring_bwd(s, kk)
+                    c = ring_bwd(c, kk)
+                    for j in range(wires - 1, -1, -1):
+                        s, c, du = g_bwd(s, c, mats_l[kk, j], j)
+                        dm_l = dm_l.at[kk, j].set(du)
+                s, c, d_enc = enc_bwd(s, c, d_enc, enc)
+                return (s, c, d_enc), dm_l
+
+            (s0, c0, d_enc), dms = jax.lax.scan(
+                layer, (out, ct, d_enc0), mats_all[::-1])
+            # gate cotangents are per-device PARTIALS of a contraction over
+            # the distributed state dimension — psum completes them. It also
+            # satisfies shard_map's replication checker: ``mats`` (and the
+            # RY ``enc``) are built from replicated inputs, so their
+            # cotangents must be provably replicated; the RZ phase plane is
+            # device-varying and its cotangent stays local.
+            dms = jax.lax.psum(dms[::-1], axis)
+            if encode == "ry":
+                d_enc = jax.lax.psum(d_enc, axis)
+            return c0, d_enc, dms
+
+        chain.defvjp(chain_fwd, chain_bwd)
+
+        flat = weights.reshape(L * k, wires, 3)
+        mats = rot_matrix(flat[..., 0], flat[..., 1],
+                          flat[..., 2]).astype(cplx)
+        mats = mats.reshape(L, k, wires, 2, 2)
+        local0 = jnp.zeros((B, dim_local), cplx)
+        local0 = jnp.where(jax.lax.axis_index(axis) == 0,
+                           local0.at[:, 0].set(1.0), local0)
+        local = chain(local0, enc, mats)
+
+        p = jnp.real(local) ** 2 + jnp.imag(local) ** 2
+        if readout == "probs":
+            return p
+        out = []
+        for j in range(wires):
+            if j < s_bits:
+                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(p.dtype)
+                out.append(sign * jnp.sum(p, axis=1))
+            else:
+                out.append(jnp.matmul(p, signs_local[:, j - s_bits].astype(
+                    p.dtype)))
+        return jax.lax.psum(jnp.stack(out, axis=1), axis)
+
     out_spec = P(None, axis) if readout == "probs" else P()
     if noise_kind is None:
-        clean = lambda x, w: body(x, w, None, None)
+        clean = body_adjoint if adjoint else (
+            lambda x, w: body(x, w, None, None))
         fn = jax.shard_map(clean, mesh=spec.mesh, in_specs=(P(), P()),
                            out_specs=out_spec)
     else:
@@ -395,7 +692,7 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
 @functools.lru_cache(maxsize=64)
 def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
                              readout, dtype, noise_kind=None,
-                             noise_placement="encode"):
+                             noise_placement="encode", adjoint=False):
     """Memoized program build: a fresh jax.jit closure per call would be a
     new cache key every time, retracing/recompiling the whole shard_map
     program on each eager invocation of the engine mesh route."""
@@ -404,7 +701,8 @@ def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
                                  encode=encode, readout=readout,
                                  dtype=jnp.dtype(dtype),
                                  noise_kind=noise_kind,
-                                 noise_placement=noise_placement)
+                                 noise_placement=noise_placement,
+                                 adjoint=adjoint)
 
 
 def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
@@ -419,15 +717,21 @@ def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
     estimate on the mesh — trajectories tile the (replicated) batch axis,
     the readout is averaged over them (sim/trajectories.py semantics,
     identical branch draws per key as the dense backend)."""
+    from .. import config as _config
+
     L, k, wires, _ = block_weights.shape
     if noise_kind is not None and (n_traj <= 0 or traj_key is None):
         raise ValueError(
             "noise_kind on the sharded path needs n_traj > 0 and a "
             "traj_key (Monte-Carlo trajectory backend)")
+    # the mesh path IS the wide regime by definition (it exists for states
+    # too large for one chip), so adjoint-mode differentiation is the
+    # default for the clean chain; "off" keeps plain autodiff for A/B
+    adjoint = noise_kind is None and _config.adjoint_mode() != "off"
     fn = _cached_reupload_program(wires, mesh, axis, int(L), int(k),
                                   imprimitive, encode, readout,
                                   jnp.dtype(dtype).name, noise_kind,
-                                  noise_placement)
+                                  noise_placement, adjoint)
     if noise_kind is None:
         return fn(x_enc, block_weights)
     b = x_enc.shape[0]

@@ -244,3 +244,28 @@ def test_wide_reupload_takes_adjoint_route(monkeypatch):
     finally:
         config.set_adjoint_mode("auto")
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_wide_path_memory_analysis():
+    """The whole point of adjoint mode: XLA's own compiled-program memory
+    analysis shows the autodiff residuals gone. At (L=4, k=2, w=12) the
+    plain backward saves L*k*w intermediate (B, 2**w) states; the adjoint
+    backward keeps O(1)."""
+    B, w, L, k = 4, 12, 4, 2
+    wq = jnp.asarray(RNG.normal(size=(L, k, w, 3)) * 0.4, jnp.float32)
+    xe = jnp.asarray(RNG.normal(size=(B, w)), jnp.float32)
+
+    def loss(wq, xe):
+        return jnp.sum(sim.reupload_block(xe, wq, readout="expvalz") ** 2)
+
+    temps = {}
+    for mode in ("off", "on"):
+        config.set_adjoint_mode(mode)
+        try:
+            step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+            mem = step.lower(wq, xe).compile().memory_analysis()
+            temps[mode] = mem.temp_size_in_bytes
+        finally:
+            config.set_adjoint_mode("auto")
+    assert temps["off"] > 5 * temps["on"], temps

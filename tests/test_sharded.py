@@ -215,3 +215,91 @@ def test_engine_reupload_mesh_route_rot_angle_halfpi():
         want = np.asarray(engine.reupload_block(
             x, w, encode=enc, readout="expvalz", noise=noise))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=enc)
+
+
+# ---------------------------------------------------------------------------
+# adjoint-mode differentiation on the mesh (sim/sharded.py body_adjoint)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("encode", ["rz", "ry"])
+@pytest.mark.parametrize("imprimitive", ["cz", "cnot"])
+def test_sharded_adjoint_grads_match_plain_and_dense(encode, imprimitive):
+    """The sharded adjoint backward (O(1) residuals, ppermute reverse walk,
+    per-device dU partials psummed by the shard_map boundary) must produce
+    the SAME gradients as plain autodiff through the sharded program AND as
+    the dense engine path."""
+    from qiddm_tpu import config
+    from qiddm_tpu.sim import engine
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    wires, L, k, B = 5, 2, 2, 3
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(B, wires)) * 2.0, jnp.float32)
+    coeff = jnp.asarray(RNG.normal(size=(B, wires)), jnp.float32)
+
+    def loss_sharded(w, x):
+        out = reupload_block_sharded(x, w, mesh, encode=encode,
+                                     imprimitive=imprimitive,
+                                     readout="expvalz")
+        return jnp.sum(coeff * out)
+
+    def loss_dense(w, x):
+        return jnp.sum(coeff * engine.reupload_block(
+            x, w, encode=encode, imprimitive=imprimitive,
+            readout="expvalz"))
+
+    grads = {}
+    for mode in ("off", "auto"):
+        config.set_adjoint_mode(mode)
+        try:
+            grads[mode] = jax.grad(loss_sharded, argnums=(0, 1))(w, x)
+        finally:
+            config.set_adjoint_mode("auto")
+    g_dense = jax.grad(loss_dense, argnums=(0, 1))(w, x)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(grads["auto"][i]),
+                                   np.asarray(grads["off"][i]), atol=3e-5,
+                                   err_msg=f"adjoint vs plain arg{i}")
+        np.testing.assert_allclose(np.asarray(grads["auto"][i]),
+                                   np.asarray(g_dense[i]), atol=3e-5,
+                                   err_msg=f"adjoint vs dense arg{i}")
+
+
+@pytest.mark.parametrize("readout", ["expvalz", "probs"])
+def test_sharded_adjoint_values_match_plain(readout):
+    """Forward values through the adjoint program equal the plain program
+    exactly (same ops, different VJP)."""
+    from qiddm_tpu import config
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    w = jnp.asarray(RNG.normal(size=(2, 2, 5, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(3, 5)), jnp.float32)
+    config.set_adjoint_mode("off")
+    try:
+        want = np.asarray(reupload_block_sharded(x, w, mesh,
+                                                 readout=readout))
+    finally:
+        config.set_adjoint_mode("auto")
+    got = np.asarray(reupload_block_sharded(x, w, mesh, readout=readout))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_adjoint_halfpi_encode_grads():
+    """rz_halfpi scaling happens outside the custom VJP; the chain rule
+    through it must match dense."""
+    from qiddm_tpu.sim import engine
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    w = jnp.asarray(RNG.normal(size=(2, 2, 5, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(3, 5)), jnp.float32)
+    coeff = jnp.asarray(RNG.normal(size=(3, 5)), jnp.float32)
+
+    g_sh = jax.grad(lambda xx: jnp.sum(coeff * reupload_block_sharded(
+        xx, w, mesh, encode="rz_halfpi")))(x)
+    g_de = jax.grad(lambda xx: jnp.sum(coeff * engine.reupload_block(
+        xx, w, encode="rz_halfpi", readout="expvalz")))(x)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_de),
+                               atol=3e-5)
