@@ -191,7 +191,9 @@ def use_pallas() -> bool:
 #   can't compile and residual memory is the binding constraint);
 # * "on":   adjoint on every eligible gate-chain path (incl. the CPU/x64
 #   parity fallbacks);
-# * "off":  plain autodiff everywhere (A/B + debugging).
+# * "off":  plain autodiff everywhere (A/B + debugging). Also the switch
+#   for FORWARD-mode autodiff (jax.jvp/jacfwd) through the wide/mesh
+#   routes: custom_vjp paths are reverse-mode only.
 _ADJOINT_MODE = "auto"
 
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import config as _config
 from .gates import rot_matrix
 from .sel import sel_ranges
 from .statevector import z_sign_table
@@ -211,100 +212,156 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     # (dim_local, local_wires) sign table for the local wires
     signs_local = jnp.asarray(z_sign_table(local_wires), jnp.float32)
 
+    # ---- shared per-device ops ---------------------------------------------
+    # One definition of the forward gate semantics, used by BOTH program
+    # bodies (plain/noise and adjoint) so they cannot drift. axis_index is
+    # taken at USE time, never closed over: the adjoint custom-VJP fwd/bwd
+    # may not capture tracers from the surrounding shard_map trace ("no
+    # constant handler" at jaxpr-ing time), and a fresh axis_index inside
+    # their own traces is free. Contractions pin the configured matmul
+    # precision (config.matmul_precision) like every other simulator path.
+
+    def bit_of_dev(j):
+        dev = jax.lax.axis_index(axis)
+        return (dev >> (s_bits - 1 - j)) & 1
+
+    def global_bits(j):  # (dim_local,) or scalar broadcastable
+        if j < s_bits:
+            return bit_of_dev(j)
+        pos = local_wires - 1 - (j - s_bits)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (dim_local,), 0)
+        return (idx >> pos) & 1
+
+    def pair_swap(arr, j):  # partner exchange across sharded wire j's bit
+        bit = 1 << (s_bits - 1 - j)
+        perm = [(i, i ^ bit) for i in range(n_dev)]
+        return jax.lax.ppermute(arr, axis, perm)
+
+    def shaped(arr, j):  # (B, left, 2, right) view of LOCAL wire j
+        tl = j - s_bits
+        left = 2**tl
+        right = 2 ** (local_wires - tl - 1)
+        return arr.reshape(arr.shape[0], left, 2, right)
+
+    def apply_1q_any(local, gate, j):
+        """Shared (2, 2) single-qubit gate on wire j."""
+        if j >= s_bits:
+            out = jnp.einsum("xy,blyr->blxr", gate, shaped(local, j),
+                             precision=_config.matmul_precision())
+            return out.reshape(local.shape[0], -1)
+        other = pair_swap(local, j)
+        b = bit_of_dev(j)
+        mine0 = gate[0, 0] * local + gate[0, 1] * other
+        mine1 = gate[1, 0] * other + gate[1, 1] * local
+        return jnp.where(b == 0, mine0, mine1)
+
+    def apply_1q_batched(local, gates, j):
+        """Per-SAMPLE (B, 2, 2) single-qubit gates on wire j."""
+        if j >= s_bits:
+            out = jnp.einsum("bxy,blyr->blxr", gates, shaped(local, j),
+                             precision=_config.matmul_precision())
+            return out.reshape(local.shape[0], -1)
+        other = pair_swap(local, j)
+        b = bit_of_dev(j)
+        mine0 = gates[:, 0, 0, None] * local + gates[:, 0, 1, None] * other
+        mine1 = gates[:, 1, 0, None] * other + gates[:, 1, 1, None] * local
+        return jnp.where(b == 0, mine0, mine1)
+
+    def apply_cz(local, c, t):
+        sign = 1.0 - 2.0 * (global_bits(c) * global_bits(t))
+        return local * sign.astype(local.real.dtype)
+
+    def apply_cnot(local, c, t):
+        cbits = jnp.broadcast_to(global_bits(c), (dim_local,))
+        if t >= s_bits:
+            st = shaped(local, t)
+            flipped = st[:, :, ::-1, :].reshape(local.shape[0], -1)
+            return jnp.where(cbits[None, :] == 1, flipped, local)
+        other = pair_swap(local, t)
+        return jnp.where(cbits[None, :] == 1, other, local)
+
+    def sel_ring(local, kk, reverse: bool = False):
+        """The SEL imprimitive ring for sublayer kk. CZ gates commute
+        (diagonal, self-inverse) so direction is immaterial; the CNOT ring
+        is SEQUENTIAL — undo and cotangent transpose both walk it in
+        reverse gate order (each CNOT is a self-inverse permutation)."""
+        if wires == 1:
+            return local
+        r = ranges[kk]
+        order = range(wires - 1, -1, -1) if reverse else range(wires)
+        for j in order:
+            t = (j + r) % wires
+            if imprimitive == "cz":
+                local = apply_cz(local, j, t)
+            else:
+                local = apply_cnot(local, j, t)
+        return local
+
+    def rz_phase_plane(x, cplx):
+        """exp(i * angle) as a per-device (B, dim_local) plane. Angle is
+        -0.5 * sum_j sign_j(i) * x_j (statevector.rz_phases convention):
+        device bits give a per-(B,) scalar, local bits a matmul against the
+        sign table. Accumulated in the state's real precision so the x64
+        parity mode stays exact on the sharded path too."""
+        rdt = jnp.float64 if cplx == jnp.complex128 else jnp.float32
+        ang = jnp.zeros((x.shape[0],), rdt)
+        for j in range(s_bits):
+            sign = (1.0 - 2.0 * bit_of_dev(j)).astype(rdt)
+            ang = ang - 0.5 * sign * x[:, j].astype(rdt)
+        ang_local = -0.5 * jnp.matmul(x[:, s_bits:].astype(rdt),
+                                      signs_local.T.astype(rdt),
+                                      precision=_config.matmul_precision())
+        total = ang[:, None] + ang_local  # (B, dim_local)
+        return jnp.exp(1j * total.astype(cplx))
+
+    def init_state(B, cplx):
+        # |0...0> lives in device 0's shard
+        local = jnp.zeros((B, dim_local), cplx)
+        return jnp.where(jax.lax.axis_index(axis) == 0,
+                         local.at[:, 0].set(1.0), local)
+
+    def measure(local):
+        p = jnp.real(local) ** 2 + jnp.imag(local) ** 2
+        if readout == "probs":
+            return p
+        out = []
+        for j in range(wires):
+            if j < s_bits:
+                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(p.dtype)
+                out.append(sign * jnp.sum(p, axis=1))
+            else:
+                out.append(jnp.matmul(
+                    p, signs_local[:, j - s_bits].astype(p.dtype),
+                    precision=_config.matmul_precision()))
+        return jax.lax.psum(jnp.stack(out, axis=1), axis)
+
+    def scaled_x(x_enc):
+        return (jnp.pi * 0.5) * x_enc if encode == "rz_halfpi" else x_enc
+
+    def build_enc(x, cplx):
+        """The encoding operand: per-sample RY gates (B, wires, 2, 2) —
+        REPLICATED (a pure function of the replicated x) — or the RZ phase
+        plane (B, dim_local) — device-VARYING. Built outside the adjoint
+        custom VJP so its pullback onto x runs under plain autodiff."""
+        if encode == "ry":
+            from .statevector import ry_gates
+
+            return ry_gates(x, dtype=cplx)
+        return rz_phase_plane(x, cplx)
+
+    def enc_fwd(local, enc):
+        if encode == "ry":
+            for j in range(wires):
+                local = apply_1q_batched(local, enc[:, j], j)
+            return local
+        return local * enc
+
+    # ---- plain / noise-trajectory body --------------------------------------
+
     def body(x_enc, weights, key, strength):
         B = x_enc.shape[0]
-        dev = jax.lax.axis_index(axis)
-
-        def bit_of_dev(j):
-            return (dev >> (s_bits - 1 - j)) & 1
-
-        def global_bits(j):  # (dim_local,) or scalar broadcastable
-            if j < s_bits:
-                return bit_of_dev(j)
-            pos = local_wires - 1 - (j - s_bits)
-            idx = jax.lax.broadcasted_iota(jnp.int32, (dim_local,), 0)
-            return (idx >> pos) & 1
-
-        x = x_enc
-        if encode == "rz_halfpi":
-            x = (jnp.pi * 0.5) * x
-
-        def encode_states(local):
-            if encode == "ry":
-                # per-sample RY(x_j) on every wire applied to the CURRENT
-                # state (mid-circuit re-uploading): non-diagonal, so
-                # sharded wires cost one pairwise ppermute each
-                from .gates import ry_matrix
-
-                for j in range(wires):
-                    g = ry_matrix(x[:, j]).astype(local.dtype)  # (B, 2, 2)
-                    local = apply_1q_batched(local, g, j)
-                return local
-            # RZ phase angle: -0.5 * sum_j sign_j(i) * x_j (statevector.py
-            # rz_phases convention). Device bits give a per-(B,) scalar,
-            # local bits a (B, dim_local) matmul.
-            # accumulate angles in the state's real precision so the x64
-            # parity mode stays exact on the sharded path too
-            rdt = jnp.float64 if local.dtype == jnp.complex128 else jnp.float32
-            ang = jnp.zeros((B,), rdt)
-            for j in range(s_bits):
-                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(rdt)
-                ang = ang - 0.5 * sign * x[:, j].astype(rdt)
-            ang_local = -0.5 * jnp.matmul(x[:, s_bits:].astype(rdt),
-                                          signs_local.T.astype(rdt))
-            total = ang[:, None] + ang_local  # (B, dim_local)
-            return local * jnp.exp(1j * total.astype(local.dtype))
-
-        def apply_1q_batched(local, gates, j):
-            """Per-SAMPLE (B, 2, 2) single-qubit gates on wire j."""
-            if j >= s_bits:
-                tl = j - s_bits
-                left = 2**tl
-                right = 2 ** (local_wires - tl - 1)
-                st = local.reshape(B, left, 2, right)
-                out = jnp.einsum("bxy,blyr->blxr", gates, st)
-                return out.reshape(B, -1)
-            bit = 1 << (s_bits - 1 - j)
-            perm = [(i, i ^ bit) for i in range(n_dev)]
-            other = jax.lax.ppermute(local, axis, perm)
-            b = bit_of_dev(j)
-            mine0 = gates[:, 0, 0, None] * local + gates[:, 0, 1, None] * other
-            mine1 = gates[:, 1, 0, None] * other + gates[:, 1, 1, None] * local
-            return jnp.where(b == 0, mine0, mine1)
-
-        def apply_1q_any(local, gate, j):
-            if j >= s_bits:
-                tl = j - s_bits
-                left = 2**tl
-                right = 2 ** (local_wires - tl - 1)
-                st = local.reshape(B, left, 2, right)
-                out = jnp.einsum("xy,blyr->blxr", gate, st)
-                return out.reshape(B, -1)
-            bit = 1 << (s_bits - 1 - j)
-            perm = [(i, i ^ bit) for i in range(n_dev)]
-            other = jax.lax.ppermute(local, axis, perm)
-            b = bit_of_dev(j)
-            mine0 = gate[0, 0] * local + gate[0, 1] * other
-            mine1 = gate[1, 0] * other + gate[1, 1] * local
-            return jnp.where(b == 0, mine0, mine1)
-
-        def apply_cz(local, c, t):
-            sign = 1.0 - 2.0 * (global_bits(c) * global_bits(t))
-            return local * sign.astype(local.real.dtype)
-
-        def apply_cnot(local, c, t):
-            cbits = jnp.broadcast_to(global_bits(c), (dim_local,))
-            if t >= s_bits:
-                tl = t - s_bits
-                left = 2**tl
-                right = 2 ** (local_wires - tl - 1)
-                st = local.reshape(B, left, 2, right)
-                flipped = st[:, :, ::-1, :].reshape(B, -1)
-                return jnp.where(cbits[None, :] == 1, flipped, local)
-            bit = 1 << (s_bits - 1 - t)
-            perm = [(i, i ^ bit) for i in range(n_dev)]
-            other = jax.lax.ppermute(local, axis, perm)
-            return jnp.where(cbits[None, :] == 1, other, local)
+        x = scaled_x(x_enc)
+        enc = build_enc(x, dtype)
 
         def apply_channel(local, key_l):
             """One key-replicated trajectory step of the per-wire channel
@@ -348,12 +405,9 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         noise_keys = (jax.random.split(key, L + 1) if noise_kind is not None
                       else None)
 
-        # |0...0> lives in device 0's shard
-        local = jnp.zeros((B, dim_local), dtype)
-        local = jnp.where(dev == 0, local.at[:, 0].set(1.0), local)
-
+        local = init_state(B, dtype)
         for l in range(L):
-            local = encode_states(local)
+            local = enc_fwd(local, enc)
             if noise_kind is not None and noise_placement == "encode":
                 local = apply_channel(local, noise_keys[l])
             for kk in range(k):
@@ -361,29 +415,12 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                                   weights[l, kk, :, 2]).astype(dtype)
                 for j in range(wires):
                     local = apply_1q_any(local, mats[j], j)
-                if wires > 1:
-                    r = ranges[kk]
-                    for j in range(wires):
-                        t = (j + r) % wires
-                        if imprimitive == "cz":
-                            local = apply_cz(local, j, t)
-                        else:
-                            local = apply_cnot(local, j, t)
+                local = sel_ring(local, kk)
         if noise_kind is not None and noise_placement == "end":
             local = apply_channel(local, noise_keys[L])
+        return measure(local)
 
-        p = jnp.real(local) ** 2 + jnp.imag(local) ** 2
-        if readout == "probs":
-            return p
-        out = []
-        for j in range(wires):
-            if j < s_bits:
-                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(p.dtype)
-                out.append(sign * jnp.sum(p, axis=1))
-            else:
-                out.append(jnp.matmul(p, signs_local[:, j - s_bits].astype(
-                    p.dtype)))
-        return jax.lax.psum(jnp.stack(out, axis=1), axis)
+    # ---- adjoint body --------------------------------------------------------
 
     def body_adjoint(x_enc, weights):
         """The clean chain with an ADJOINT-mode custom VJP (sim/adjoint.py
@@ -396,71 +433,28 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         ppermute to rebuild the input state (the partner's half of the
         input is then computable locally for the gate cotangent) and one
         to transpose the cotangent; CZ rings and RZ encodes stay
-        comm-free. Per-device gate-cotangent PARTIALS are returned raw —
-        shard_map's replication transpose psums them at the region
-        boundary (weights/x_enc ride in as P()).
+        comm-free. Gate cotangents are per-device partials completed by
+        one psum per backward scan.
+
+        Note: as a custom_vjp, this path supports reverse-mode only —
+        jax.jvp/jacfwd through the mesh route needs
+        config.set_adjoint_mode("off").
         """
         B = x_enc.shape[0]
         cplx = jnp.dtype(dtype)
-
-        def bit_of_dev(j):
-            # axis_index is taken at USE time, never closed over: the
-            # custom-VJP fwd/bwd below may not capture tracers from this
-            # surrounding shard_map trace ("no constant handler" at
-            # jaxpr-ing time), and a fresh axis_index inside their own
-            # traces is free
-            dev = jax.lax.axis_index(axis)
-            return (dev >> (s_bits - 1 - j)) & 1
-
-        def global_bits(j):
-            if j < s_bits:
-                return bit_of_dev(j)
-            pos = local_wires - 1 - (j - s_bits)
-            idx = jax.lax.broadcasted_iota(jnp.int32, (dim_local,), 0)
-            return (idx >> pos) & 1
-
-        def pair_swap(arr, j):
-            bit = 1 << (s_bits - 1 - j)
-            perm = [(i, i ^ bit) for i in range(n_dev)]
-            return jax.lax.ppermute(arr, axis, perm)
-
-        def shaped(arr, j):
-            tl = j - s_bits
-            left = 2**tl
-            right = 2 ** (local_wires - tl - 1)
-            return arr.reshape(B, left, 2, right)
-
-        def g_fwd(local, g, j):
-            if j >= s_bits:
-                out = jnp.einsum("xy,blyr->blxr", g, shaped(local, j))
-                return out.reshape(B, -1)
-            other = pair_swap(local, j)
-            b = bit_of_dev(j)
-            mine0 = g[0, 0] * local + g[0, 1] * other
-            mine1 = g[1, 0] * other + g[1, 1] * local
-            return jnp.where(b == 0, mine0, mine1)
-
-        def g_fwd_batched(local, g, j):  # g: (B, 2, 2) per-sample
-            if j >= s_bits:
-                out = jnp.einsum("bxy,blyr->blxr", g, shaped(local, j))
-                return out.reshape(B, -1)
-            other = pair_swap(local, j)
-            b = bit_of_dev(j)
-            mine0 = g[:, 0, 0, None] * local + g[:, 0, 1, None] * other
-            mine1 = g[:, 1, 0, None] * other + g[:, 1, 1, None] * local
-            return jnp.where(b == 0, mine0, mine1)
 
         def g_bwd(s, c, g, j):
             """Reverse one shared 1q gate: reconstruct the input state
             (U^H), transpose the cotangent (U^T, unconjugated), emit this
             device's partial of dU = sum c_out (x) s_in."""
+            prec = _config.matmul_precision()
             if j >= s_bits:
                 s_in = jnp.einsum("yx,blyr->blxr", jnp.conj(g),
-                                  shaped(s, j)).reshape(B, -1)
+                                  shaped(s, j), precision=prec).reshape(B, -1)
                 du = jnp.einsum("blxr,blyr->xy", shaped(c, j),
-                                shaped(s_in, j))
+                                shaped(s_in, j), precision=prec)
                 c_in = jnp.einsum("yx,blyr->blxr", g,
-                                  shaped(c, j)).reshape(B, -1)
+                                  shaped(c, j), precision=prec).reshape(B, -1)
                 return s_in, c_in, du
             so = pair_swap(s, j)
             co = pair_swap(c, j)
@@ -486,13 +480,14 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
 
         def g_bwd_batched(s, c, g, j):
             """Reverse one per-sample 1q gate; du is (B, 2, 2)."""
+            prec = _config.matmul_precision()
             if j >= s_bits:
                 s_in = jnp.einsum("byx,blyr->blxr", jnp.conj(g),
-                                  shaped(s, j)).reshape(B, -1)
+                                  shaped(s, j), precision=prec).reshape(B, -1)
                 du = jnp.einsum("blxr,blyr->bxy", shaped(c, j),
-                                shaped(s_in, j))
+                                shaped(s_in, j), precision=prec)
                 c_in = jnp.einsum("byx,blyr->blxr", g,
-                                  shaped(c, j)).reshape(B, -1)
+                                  shaped(c, j), precision=prec).reshape(B, -1)
                 return s_in, c_in, du
             so = pair_swap(s, j)
             co = pair_swap(c, j)
@@ -517,77 +512,6 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                            jnp.where(b0, zero, own)], axis=-1)], axis=-2)
             return s_in, c_in, du
 
-        def cz_ring(arr, kk):
-            # self-inverse real diagonal: forward == undo == transpose
-            r = ranges[kk]
-            for j in range(wires):
-                t = (j + r) % wires
-                sign = 1.0 - 2.0 * (global_bits(j) * global_bits(t))
-                arr = arr * sign.astype(arr.real.dtype)
-            return arr
-
-        def cnot_one(arr, c_w, t):
-            cbits = jnp.broadcast_to(global_bits(c_w), (dim_local,))
-            if t >= s_bits:
-                st = shaped(arr, t)
-                flipped = st[:, :, ::-1, :].reshape(B, -1)
-                return jnp.where(cbits[None, :] == 1, flipped, arr)
-            other = pair_swap(arr, t)
-            return jnp.where(cbits[None, :] == 1, other, arr)
-
-        def cnot_ring(arr, kk, reverse: bool):
-            # each CNOT is self-inverse and orthogonal (permutation), but
-            # the ring is SEQUENTIAL: undo and transpose both walk it in
-            # reverse gate order
-            r = ranges[kk]
-            order = range(wires - 1, -1, -1) if reverse else range(wires)
-            for j in order:
-                arr = cnot_one(arr, j, (j + r) % wires)
-            return arr
-
-        def ring_fwd(arr, kk):
-            if wires == 1:
-                return arr
-            if imprimitive == "cz":
-                return cz_ring(arr, kk)
-            return cnot_ring(arr, kk, reverse=False)
-
-        def ring_bwd(arr, kk):
-            if wires == 1:
-                return arr
-            if imprimitive == "cz":
-                return cz_ring(arr, kk)
-            return cnot_ring(arr, kk, reverse=True)
-
-        x = x_enc
-        if encode == "rz_halfpi":
-            x = (jnp.pi * 0.5) * x
-
-        if encode == "ry":
-            from .statevector import ry_gates
-
-            enc = ry_gates(x, dtype=cplx)  # (B, wires, 2, 2)
-        else:
-            # per-device RZ phase plane (B, dim_local), same construction
-            # as the plain body — built OUTSIDE the custom VJP so its
-            # pullback onto x runs under plain local autodiff
-            rdt = jnp.float64 if cplx == jnp.complex128 else jnp.float32
-            ang = jnp.zeros((B,), rdt)
-            for j in range(s_bits):
-                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(rdt)
-                ang = ang - 0.5 * sign * x[:, j].astype(rdt)
-            ang_local = -0.5 * jnp.matmul(x[:, s_bits:].astype(rdt),
-                                          signs_local.T.astype(rdt))
-            total = ang[:, None] + ang_local
-            enc = jnp.exp(1j * total.astype(cplx))
-
-        def enc_fwd(local, enc):
-            if encode == "ry":
-                for j in range(wires):
-                    local = g_fwd_batched(local, enc[:, j], j)
-                return local
-            return local * enc
-
         def enc_bwd(s, c, d_enc, enc):
             if encode == "ry":
                 for j in range(wires - 1, -1, -1):
@@ -598,13 +522,16 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
             d_enc = d_enc + c * s_in
             return s_in, c * enc, d_enc
 
+        x = scaled_x(x_enc)
+        enc = build_enc(x, cplx)
+
         def chain_impl(local0, enc, mats_all):
             def layer(local, mats_l):  # mats_l: (k, wires, 2, 2)
                 local = enc_fwd(local, enc)
                 for kk in range(k):
                     for j in range(wires):
-                        local = g_fwd(local, mats_l[kk, j], j)
-                    local = ring_fwd(local, kk)
+                        local = apply_1q_any(local, mats_l[kk, j], j)
+                    local = sel_ring(local, kk)
                 return local, None
 
             out, _ = jax.lax.scan(layer, local0, mats_all)
@@ -631,8 +558,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                 s, c, d_enc = carry
                 dm_l = jnp.zeros_like(mats_l)
                 for kk in range(k - 1, -1, -1):
-                    s = ring_bwd(s, kk)
-                    c = ring_bwd(c, kk)
+                    s = sel_ring(s, kk, reverse=True)
+                    c = sel_ring(c, kk, reverse=True)
                     for j in range(wires - 1, -1, -1):
                         s, c, du = g_bwd(s, c, mats_l[kk, j], j)
                         dm_l = dm_l.at[kk, j].set(du)
@@ -658,24 +585,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         mats = rot_matrix(flat[..., 0], flat[..., 1],
                           flat[..., 2]).astype(cplx)
         mats = mats.reshape(L, k, wires, 2, 2)
-        local0 = jnp.zeros((B, dim_local), cplx)
-        local0 = jnp.where(jax.lax.axis_index(axis) == 0,
-                           local0.at[:, 0].set(1.0), local0)
-        local = chain(local0, enc, mats)
-
-        p = jnp.real(local) ** 2 + jnp.imag(local) ** 2
-        if readout == "probs":
-            return p
-        out = []
-        for j in range(wires):
-            if j < s_bits:
-                sign = (1.0 - 2.0 * bit_of_dev(j)).astype(p.dtype)
-                out.append(sign * jnp.sum(p, axis=1))
-            else:
-                out.append(jnp.matmul(p, signs_local[:, j - s_bits].astype(
-                    p.dtype)))
-        return jax.lax.psum(jnp.stack(out, axis=1), axis)
-
+        local = chain(init_state(B, cplx), enc, mats)
+        return measure(local)
     out_spec = P(None, axis) if readout == "probs" else P()
     if noise_kind is None:
         clean = body_adjoint if adjoint else (
@@ -717,8 +628,6 @@ def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
     estimate on the mesh — trajectories tile the (replicated) batch axis,
     the readout is averaged over them (sim/trajectories.py semantics,
     identical branch draws per key as the dense backend)."""
-    from .. import config as _config
-
     L, k, wires, _ = block_weights.shape
     if noise_kind is not None and (n_traj <= 0 or traj_key is None):
         raise ValueError(

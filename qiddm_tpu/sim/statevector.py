@@ -36,7 +36,12 @@ from .. import config as _config
 
 @functools.lru_cache(maxsize=None)
 def bit_table(wires: int) -> np.ndarray:
-    """(2**wires, wires) int8 table; column j = bit of wire j (wire 0 = MSB)."""
+    """(2**wires, wires) int8 table; column j = bit of wire j (wire 0 = MSB).
+
+    wires == 0 yields the (1, 0) empty table — the fully-sharded
+    statevector case (sharded.py with local_wires == 0)."""
+    if wires == 0:
+        return np.zeros((1, 0), dtype=np.int8)
     idx = np.arange(2**wires, dtype=np.int64)
     cols = [(idx >> (wires - 1 - j)) & 1 for j in range(wires)]
     return np.stack(cols, axis=1).astype(np.int8)

@@ -303,3 +303,27 @@ def test_sharded_adjoint_halfpi_encode_grads():
         xx, w, encode="rz_halfpi", readout="expvalz")))(x)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_de),
                                atol=3e-5)
+
+
+def test_fully_sharded_statevector():
+    """wires == shard_bits (zero local wires): every gate rides a ppermute,
+    dim_local == 1. Values and grads still match dense."""
+    from qiddm_tpu.sim import engine
+    from qiddm_tpu.sim.sharded import reupload_block_sharded
+
+    mesh = make_mesh(8, ("data",))
+    wires, L, k, B = 3, 2, 2, 3  # 8 devices -> 3 shard bits == wires
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(B, wires)) * 2.0, jnp.float32)
+    coeff = jnp.asarray(RNG.normal(size=(B, wires)), jnp.float32)
+
+    got = np.asarray(reupload_block_sharded(x, w, mesh, readout="expvalz"))
+    want = np.asarray(engine.reupload_block(x, w, readout="expvalz"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    g_sh = jax.grad(lambda ww: jnp.sum(coeff * reupload_block_sharded(
+        x, ww, mesh)))(w)
+    g_de = jax.grad(lambda ww: jnp.sum(coeff * engine.reupload_block(
+        x, ww, readout="expvalz")))(w)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_de),
+                               atol=3e-5)
