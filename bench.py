@@ -226,12 +226,14 @@ def bench_noise_dm_sampling(batch: int = 10, iters: int = 15, reps: int = 3,
 
 def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
                         batch: int = 8, steps: int = 50):
-    """Training-step throughput for a re-uploading block at 16 wires — a
-    2^16-amplitude statevector, beyond the reference's 10-wire ceiling
-    (SURVEY §5.7: its widest circuit is 10 wires; PennyLane warns above
-    that). One chip, full fwd+bwd per step, on the gate-level XLA route
-    (wires > config.pallas_max_wires(): the fused kernel's scoped-VMEM cap
-    is 10 wires on the v5e — DESIGN.md width boundary)."""
+    """Training-step throughput for a re-uploading block at 16+ wires —
+    beyond the reference's 10-wire ceiling (SURVEY §5.7: its widest
+    circuit is 10 wires; PennyLane warns above that). One chip, full
+    fwd+bwd per step, on the gate-level XLA route with the ADJOINT-mode
+    backward (sim/adjoint.py — auto for wires > config.pallas_max_wires()).
+    The 20-wire variant exists ONLY because of adjoint mode: plain
+    autodiff would save L*k*wires intermediate (batch, 2^20) states
+    (~37 GB) per step — over twice the chip's HBM."""
     import jax
     import jax.numpy as jnp
 
@@ -334,9 +336,10 @@ def main(argv=None):
         suite = [dict(primary, roofline=util)]
         serving = lambda: bench_sampling(batch=4096, reps=3,
                                          tag="_batch4096_serving")
+        wide20 = lambda: bench_wide_reupload(wires=20, steps=20)
         for fn in (bench_qiddm_ll_flagship, bench_sampling, serving,
                    bench_noise_dm_sampling, bench_traj_noisy_sampling,
-                   bench_wide_reupload):
+                   bench_wide_reupload, wide20):
             rec = fn()
             suite.append(dict(rec[0], detail=rec[1]))
             print(f"# {rec[0]['metric']}: {rec[0]['value']} "

@@ -58,18 +58,22 @@ from .sel import cnot_ring_perm, cz_ring_signs, sel_ranges
 from .statevector import apply_1q
 
 
-def _ring_rows(L: int, k: int, wires: int, imprimitive: str,
-               full_cycle: bool):
-    """Static per-(layer, sublayer) ring data.
+def _ring_tables(L: int, k: int, wires: int, imprimitive: str,
+                 full_cycle: bool):
+    """Static ring data, DEDUPLICATED to the ``wires - 1`` distinct ranges.
 
-    Returns ``(kind, fwd, bwd)``: for CZ, (L, k, d) float64 sign rows with
-    fwd == bwd (the ring is a self-inverse real diagonal); for CNOT,
-    (L, k, d) int32 rows — fwd the row-gather realizing the ring, bwd its
-    inverse permutation (used both to undo the state and to transpose the
-    cotangent). ``full_cycle`` makes the imprimitive range cycle across the
+    Returns ``(kind, tab, idx)``: ``tab`` is (p, 2, d) with ``tab[i, 0]``
+    realizing the ring of range ``i + 1`` forward and ``tab[i, 1]`` undoing
+    it (CZ: float64 sign rows, self-inverse so both slots equal; CNOT:
+    int32 row-gathers — the undo slot is the inverse permutation, which
+    also transposes the cotangent); ``idx`` is the (L, k) int32 table
+    index per sublayer. Storing only distinct rows matters at width: the
+    naive (L, k, 2, d) layout is ~235 MB of redundant constants at
+    (L=14, k=2, w=20). ``full_cycle`` makes the range cycle across the
     whole L*k chain (one deep SEL template, sel_apply_gates semantics);
     otherwise it restarts every spectrum layer (the reference instantiates
-    a fresh SEL template per re-uploading layer, nn/qdense.py:1302-1305).
+    a fresh SEL template per re-uploading layer, nn/qdense.py:1302-1305) —
+    every layer then shares one static row set.
     """
     if wires == 1:
         return ("none", None, None)
@@ -77,23 +81,26 @@ def _ring_rows(L: int, k: int, wires: int, imprimitive: str,
         ranges = np.asarray(sel_ranges(L * k, wires)).reshape(L, k)
     else:
         ranges = np.tile(np.asarray(sel_ranges(k, wires)), (L, 1))
+    idx = (ranges - 1).astype(np.int32)
+    p = wires - 1
     if imprimitive == "cz":
-        signs = np.stack([np.stack([cz_ring_signs(wires, int(r))
-                                    for r in row]) for row in ranges])
-        return ("cz", signs, signs)
+        rows = np.stack([cz_ring_signs(wires, r + 1) for r in range(p)])
+        tab = np.stack([rows, rows], axis=1)  # (p, 2, d)
+        return ("cz", tab, idx)
     if imprimitive == "cnot":
-        fwd = np.stack([np.stack([cnot_ring_perm(wires, int(r))
-                                  for r in row]) for row in ranges])
+        fwd = np.stack([cnot_ring_perm(wires, r + 1) for r in range(p)])
         bwd = np.argsort(fwd, axis=-1)
-        return ("cnot", fwd.astype(np.int32), bwd.astype(np.int32))
+        tab = np.stack([fwd, bwd], axis=1).astype(np.int32)
+        return ("cnot", tab, idx)
     raise ValueError(f"unknown imprimitive {imprimitive!r}")
 
 
 def _apply_ring(states, row, kind: str):
-    """Apply one ring row: CZ sign multiply or CNOT permutation gather.
-    The same op serves forward (fwd row), state undo (bwd row), and
-    cotangent transpose (bwd row) — CZ diagonals are real self-inverse,
-    and a permutation's transpose equals its inverse permutation."""
+    """Apply one ring row (a slot of the dedup table): CZ sign multiply or
+    CNOT permutation gather. The same op serves forward (slot 0), state
+    undo (slot 1), and cotangent transpose (slot 1) — CZ diagonals are
+    real self-inverse, and a permutation's transpose equals its inverse
+    permutation."""
     if kind == "cz":
         return states * row.astype(states.dtype)[None, :]
     return jnp.take(states, row, axis=1)
@@ -166,22 +173,33 @@ def _make_chain(L: int, k: int, wires: int, imprimitive: str,
     closure constants (never differentiated); caching keeps one function
     object per configuration so jit caches compiled programs across calls.
     """
-    ring_kind, fwd_np, bwd_np = _ring_rows(L, k, wires, imprimitive,
-                                           full_cycle)
+    ring_kind, tab_np, idx_np = _ring_tables(L, k, wires, imprimitive,
+                                             full_cycle)
+    # per-layer-restarting rings (reupload) share one static row set; only
+    # the full-cycle chain needs the range index to ride the scan
+    uniform = not full_cycle
+
+    def _row(tab, idx_l, li: int, slot: int):
+        if uniform:
+            return tab[int(idx_np[0, li]), slot]
+        return jnp.take(tab, idx_l[li], axis=0)[slot]
 
     def fwd_impl(states0, enc, mats):
+        tab = None if ring_kind == "none" else jnp.asarray(tab_np)
+        idx_xs = (None if (ring_kind == "none" or uniform)
+                  else jnp.asarray(idx_np))
+
         def body(s, xs):
-            mats_l, fwd_l = xs  # (k, w, 2, 2), (k, d) | None
+            mats_l, idx_l = xs  # (k, w, 2, 2), (k,) | None
             s = _enc_fwd(s, enc, encode_kind, wires)
             for li in range(k):
                 for j in range(wires):
                     s = apply_1q(s, mats_l[li, j], j, wires)
                 if ring_kind != "none":
-                    s = _apply_ring(s, fwd_l[li], ring_kind)
+                    s = _apply_ring(s, _row(tab, idx_l, li, 0), ring_kind)
             return s, None
 
-        fwd_rows = None if ring_kind == "none" else jnp.asarray(fwd_np)
-        s, _ = jax.lax.scan(body, states0, (mats, fwd_rows))
+        s, _ = jax.lax.scan(body, states0, (mats, idx_xs))
         return s
 
     @jax.custom_vjp
@@ -195,15 +213,19 @@ def _make_chain(L: int, k: int, wires: int, imprimitive: str,
     def chain_bwd(res, ct):
         out, enc, mats = res
         d_enc0 = jnp.zeros_like(enc)
+        tab = None if ring_kind == "none" else jnp.asarray(tab_np)
+        idx_xs = (None if (ring_kind == "none" or uniform)
+                  else jnp.asarray(idx_np)[::-1])
 
         def body(carry, xs):
-            mats_l, bwd_l = xs
+            mats_l, idx_l = xs
             s, c, d_enc = carry
             dm_l = jnp.zeros_like(mats_l)
             for li in range(k - 1, -1, -1):
                 if ring_kind != "none":
-                    s = _apply_ring(s, bwd_l[li], ring_kind)
-                    c = _apply_ring(c, bwd_l[li], ring_kind)
+                    row = _row(tab, idx_l, li, 1)  # undo == transpose slot
+                    s = _apply_ring(s, row, ring_kind)
+                    c = _apply_ring(c, row, ring_kind)
                 for j in range(wires - 1, -1, -1):
                     g = mats_l[li, j]
                     s = apply_1q(s, _adj(g), j, wires)  # reconstruct input
@@ -212,10 +234,8 @@ def _make_chain(L: int, k: int, wires: int, imprimitive: str,
             s, c, d_enc = _enc_bwd(s, c, d_enc, enc, encode_kind, wires)
             return (s, c, d_enc), dm_l
 
-        bwd_rows = (None if ring_kind == "none"
-                    else jnp.asarray(bwd_np)[::-1])
         (s0, c0, d_enc), dms = jax.lax.scan(
-            body, (out, ct, d_enc0), (mats[::-1], bwd_rows))
+            body, (out, ct, d_enc0), (mats[::-1], idx_xs))
         return c0, d_enc, dms[::-1]
 
     chain.defvjp(chain_fwd, chain_bwd)
