@@ -68,7 +68,7 @@ def apply_chain_two_sided(rho, chain_fn):
     unitary composition) with O(gates * b * d^2) elementwise work that the
     fused Pallas SEL chain runs VMEM-resident — the winning trade at the
     reference noise-sweep shapes (batch 10, d=256; measured in
-    results/dm_mode_ab.json). Exact up to fp rounding and the Hermiticity
+    results/dm_unitary_ab.json). Exact up to fp rounding and the Hermiticity
     of rho (preserved by every CPTP step of the dm path).
     """
     b, d, _ = rho.shape

@@ -149,6 +149,22 @@ def _batch_traced(*xs) -> bool:
     return any(isinstance(x, BatchTracer) for x in xs)
 
 
+def _ad_traced(*xs) -> bool:
+    """True when any arg carries an AD tracer — i.e. this call is under
+    jax.grad (LinearizeTracer) or jax.jvp (JVPTracer). Used to route AWAY
+    from Pallas programs that define no VJP rule (the fused dm block
+    kernel); the gate-chain kernels have custom VJPs and stay on."""
+    try:
+        from jax._src.interpreters.ad import JVPTracer, LinearizeTracer
+    except ImportError:
+        # private path moved: claim no-AD — differentiation then fails
+        # LOUDLY at the kernel's missing VJP rather than silently
+        # degrading every forward pass off the fused kernel
+        return False
+
+    return any(isinstance(x, (JVPTracer, LinearizeTracer)) for x in xs)
+
+
 def _use_adjoint(wires: int, on_tpu: bool) -> bool:
     """Adjoint-mode routing (config.adjoint_mode): "on" everywhere,
     "off" nowhere, "auto" on the wide gate-level regime — beyond the
@@ -459,7 +475,7 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
     # SEL strategy (config.dm_unitary_mode): "gates" applies the chain to
     # both sides of rho via density.apply_chain_two_sided (O(L k w b d^2)
     # elementwise, Pallas-fused on TPU); "matmul" is the composed-unitary
-    # sandwich (O(L b d^3) MXU). Measured A/B: results/dm_mode_ab.json.
+    # sandwich (O(L b d^3) MXU). Measured A/B: results/dm_unitary_ab.json.
     dm_gates = _config.dm_unitary_mode() == "gates"
     rho = dm.zero_density(batch, wires, dtype=cdtype)
     phases = rz_phases(x_enc, wires) if encode in ("rz", "rz_halfpi") else None
@@ -497,7 +513,10 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         if (pallas_ok and imprimitive == "cz"
                 and noise.placement == "encode"
                 and noise.kind in KIND_IDS
-                and batch * dim * dim <= (1 << 22)):  # plane VMEM cap
+                and batch * dim * dim <= (1 << 22)  # plane VMEM cap
+                # no VJP rule on the fused kernel: under AD fall through
+                # to the two-sided gate chains (custom-VJP) below
+                and not _ad_traced(x_enc, block_weights, strength)):
             from .gates import rot_matrix
             from .pallas_dm_kernel import dm_reupload_chain_pallas
 
@@ -510,7 +529,12 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             if readout == "probs":
                 return dm.probs(rho)
             return dm.expval_z(rho)
-        use_pallas_chain = pallas_ok
+        # The two-sided chain runs on COLUMN batches of b*d lanes, so its
+        # (d, b*d) float32 planes carry batch*dim*dim elements — the same
+        # VMEM budget as the fused kernel's rho planes. Past the cap the
+        # XLA gate path takes over (wires <= 10 shapes above the cap are
+        # exactly the wide-batch dm sweeps, e.g. w=10 x batch 10).
+        use_pallas_chain = pallas_ok and batch * dim * dim <= (1 << 22)
 
         def sel_rho(rho, w_l):  # w_l: (k, wires, 3)
             if use_pallas_chain:
@@ -627,6 +651,8 @@ def qnn_circuit(x, weights, *, encode: str = "rz", imprimitive: str = "cz",
         if (_config.use_pallas() and jax.default_backend() == "tpu"
                 and cdtype == jnp.complex64
                 and wires <= _config.pallas_max_wires()
+                # column-batch plane cap (see reupload dm route above)
+                and x.shape[0] * 4**wires <= (1 << 22)
                 and not _batch_traced(x, w, noise.strength)):
             from .gates import rot_matrix
             from .pallas_gate_kernel import sel_chain_pallas

@@ -6,7 +6,7 @@ reference src/mnist_noise.py:214-230) runs L x [RZ encode -> per-wire channel
 per spectrum layer on (b, d, d) tensors — at the reference noise-sweep shapes
 (b=10, d=256) every op is far too small to fill the chip and the step is
 pure per-op overhead (measured 14 ms per denoise step on the v5e; the
-composed-unitary and gate-level XLA variants tie, results/dm_mode_ab.json).
+composed-unitary and gate-level XLA variants tie, results/dm_unitary_ab.json).
 
 This kernel runs the ENTIRE block in one Pallas program, with rho held in
 VMEM as (d, b*d) float32 planes (real, imag): rows = the row index of rho,
@@ -41,7 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_gate_kernel import (
     _SEL_COMPILER_PARAMS,
     _gate_apply,
+    _partner,
     _read_g8,
+    _to_g8,
     _wire_mask,
 )
 from .sel import cz_ring_signs, sel_ranges
@@ -69,18 +71,10 @@ def _lane_partner(sr, si, bit: int, is1):
     return jnp.where(is1, up_r, down_r), jnp.where(is1, up_i, down_i)
 
 
-def _row_partner(sr, si, bit: int, is1):
-    d = sr.shape[0]
-    down_r = pltpu.roll(sr, d - bit, axis=0)
-    down_i = pltpu.roll(si, d - bit, axis=0)
-    up_r = pltpu.roll(sr, bit, axis=0)
-    up_i = pltpu.roll(si, bit, axis=0)
-    return jnp.where(is1, up_r, down_r), jnp.where(is1, up_i, down_i)
-
-
 def _xor_partner_both(rr, ri, bit: int, rm, lm):
-    """rho[i ^ bit, c ^ bit]: row xor-roll then lane xor-roll."""
-    tr, ti = _row_partner(rr, ri, bit, rm)
+    """rho[i ^ bit, c ^ bit]: row xor-roll (pallas_gate_kernel._partner,
+    the same sublane-roll idiom) then lane xor-roll."""
+    tr, ti = _partner(rr, ri, bit, rm)
     return _lane_partner(tr, ti, bit, lm)
 
 
@@ -147,7 +141,7 @@ def _lane_coeff_gate_row(rr, ri, c, s, j: int, d: int, B: int, w: int):
     [[c, -s], [s, c]] where c/s are (1, B) planes. Broadcasts over rows."""
     bit = 1 << (w - 1 - j)
     is1 = _wire_mask(j, d, B, w)
-    o_r, o_i = _row_partner(rr, ri, bit, is1)
+    o_r, o_i = _partner(rr, ri, bit, is1)
     # row bit 0: c*own - s*partner ; row bit 1: s*partner(bit0 value) + c*own
     n_r0 = c * rr - s * o_r
     n_i0 = c * ri - s * o_i
@@ -247,12 +241,7 @@ def dm_reupload_chain_pallas(phases, rot_mats, k: int, wires: int,
         er = jnp.real(planes).astype(jnp.float32)
         ei = jnp.imag(planes).astype(jnp.float32)
     n_layers = rot_mats.shape[0] // k
-    g8 = jnp.stack([
-        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
-        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
-        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
-        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
-    ], axis=-1).astype(jnp.float32)                             # (L*k, w, 8)
+    g8 = _to_g8(rot_mats)                             # (L*k, w, 8)
     ranges = sel_ranges(k, wires)
     sgn = np.stack([cz_ring_signs(wires, r) for r in ranges])   # (k, d)
     sgr = jnp.asarray(sgn[:, :, None], jnp.float32)             # (k, d, 1)

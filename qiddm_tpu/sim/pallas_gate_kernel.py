@@ -53,6 +53,18 @@ def _partner(sr, si, bit: int, is1):
     return o_r, o_i
 
 
+def _to_g8(rot_mats):
+    """Pack complex (..., 2, 2) gate matrices as the kernels' (..., 8)
+    float32 real/imag component layout (one definition for every kernel
+    that streams gates: sel/gate/ry chains here, the dm block kernel)."""
+    return jnp.stack([
+        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
+        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
+        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
+        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
+    ], axis=-1).astype(jnp.float32)
+
+
 def _wire_mask(j: int, d: int, B: int, w: int):
     bit_pos = w - 1 - j
     row = jax.lax.broadcasted_iota(jnp.int32, (d, B), 0)
@@ -498,12 +510,7 @@ def sel_chain_pallas(states, rot_mats, wires: int, imprimitive: str = "cnot",
     if imprimitive not in ("cnot", "cz"):
         raise ValueError(f"unknown imprimitive {imprimitive!r}")
     depth = rot_mats.shape[0]
-    g8 = jnp.stack([
-        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
-        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
-        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
-        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
-    ], axis=-1).astype(jnp.float32)  # (depth, wires, 8)
+    g8 = _to_g8(rot_mats)  # (depth, wires, 8)
     sr = jnp.real(states).astype(jnp.float32).T  # (d, B)
     si = jnp.imag(states).astype(jnp.float32).T
     out_r, out_i = _sel_chain(sr, si, g8, wires, imprimitive == "cz",
@@ -527,12 +534,7 @@ def gate_chain_pallas(phases, rot_mats, k: int, wires: int,
     ranges = sel_ranges(k, wires)
     sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
                     for li in range(k)]).astype(np.float32)
-    g8 = jnp.stack([
-        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
-        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
-        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
-        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
-    ], axis=-1).astype(jnp.float32)  # (n_layers, wires, 8)
+    g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
     pr = jnp.real(phases).astype(jnp.float32).T  # (d, B)
     pi = jnp.imag(phases).astype(jnp.float32).T
     out_r, out_i = _gate_chain(pr, pi, g8, jnp.asarray(sgn), k, wires,
@@ -729,12 +731,7 @@ def ry_chain_pallas(angles, rot_mats, k: int, wires: int,
     ranges = sel_ranges(k, wires)
     sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
                     for li in range(k)]).astype(np.float32)
-    g8 = jnp.stack([
-        jnp.real(rot_mats[..., 0, 0]), jnp.imag(rot_mats[..., 0, 0]),
-        jnp.real(rot_mats[..., 0, 1]), jnp.imag(rot_mats[..., 0, 1]),
-        jnp.real(rot_mats[..., 1, 0]), jnp.imag(rot_mats[..., 1, 0]),
-        jnp.real(rot_mats[..., 1, 1]), jnp.imag(rot_mats[..., 1, 1]),
-    ], axis=-1).astype(jnp.float32)  # (n_layers, wires, 8)
+    g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
     half = (0.5 * angles).astype(jnp.float32).T      # (w, B)
     cs = jnp.concatenate([jnp.cos(half), jnp.sin(half)], axis=0)  # (2w, B)
     out_r, out_i = _ry_chain(cs, g8, jnp.asarray(sgn), k, wires, interpret)

@@ -393,3 +393,25 @@ def test_deterministic_lowering_flag():
     import qiddm_tpu  # noqa: F401  (the import applies config)
 
     assert jax.config.jax_include_full_tracebacks_in_locations is False
+
+
+def test_ad_traced_detects_grad_tracers():
+    """engine._ad_traced routes the VJP-less fused dm kernel off under
+    differentiation: it must fire under jax.grad/jvp and stay quiet on
+    plain (even jitted) evaluation."""
+    import jax
+    import jax.numpy as jnp
+
+    from qiddm_tpu.sim.engine import _ad_traced
+
+    seen = []
+
+    def f(x):
+        seen.append(_ad_traced(x))
+        return jnp.sum(x ** 2)
+
+    x = jnp.ones(3)
+    f(x)
+    jax.grad(f)(x)
+    jax.jvp(f, (x,), (x,))
+    assert seen == [False, True, True], seen

@@ -28,12 +28,14 @@ def run(B=11, w=6, L=14, k=2, steps=200):
                                  readout="expvalz")
         return jnp.sum(coeff * out)
 
-    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-
     out = {}
     for mode, pallas_on in (("pallas_ry_kernel", True),
                             ("xla_layer_unitaries", False)):
         config.set_use_pallas(pallas_on)
+        # a FRESH jit per mode: jax.jit caches on abstract args only and
+        # never retraces on the config global, so a shared step object
+        # would run the first-traced (Pallas) program for both arms
+        step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
         v, g = step(wq, xe)
         jax.block_until_ready(g)
         t0 = time.time()
