@@ -84,25 +84,35 @@ def _host_cpu_fingerprint() -> str:
 
 
 def _setup_compilation_cache() -> None:
-    cache_dir = os.environ.get("QIDDM_XLA_CACHE_DIR")
-    if cache_dir is None:
-        cache_dir = str(pathlib.Path.home() / ".cache" / "qiddm_tpu"
-                        / f"xla-{_host_cpu_fingerprint()}")
-    if not cache_dir:
-        return
     try:
-        pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache anything that took >=0.5 s to compile, regardless of size
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        cache_dir = os.environ.get("QIDDM_XLA_CACHE_DIR")
+        user_configured = jax.config.jax_compilation_cache_dir is not None
+        if cache_dir is None and not user_configured:
+            cache_dir = str(pathlib.Path.home() / ".cache" / "qiddm_tpu"
+                            / f"xla-{_host_cpu_fingerprint()}")
+        if cache_dir:
+            pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # cache anything that took >=0.5 s to compile, at any size
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+        elif not user_configured:
+            return  # QIDDM_XLA_CACHE_DIR="": caching explicitly disabled
+        # else: an explicit user configuration (JAX_COMPILATION_CACHE_DIR
+        # or a pre-import jax.config.update) wins over the package default
+        # — leave the dir and thresholds alone, but still apply the
+        # deterministic-lowering flag below so Pallas programs can hit
+        # WHICHEVER cache is active.
+        #
         # Full tracebacks in MLIR locations make the serialized Mosaic
         # payload of pallas_call different on EVERY trace (verified: two
         # lowerings of the identical kernel program differ in the
-        # custom-call body), so Pallas programs would never hit this
-        # cache — and the fused kernels are exactly the multi-minute
-        # compiles the cache exists for. Trade: XLA error messages lose
-        # the Python stack in op locations.
+        # custom-call body), so Pallas programs would never hit a
+        # persistent cache — and the fused kernels are exactly the
+        # multi-minute compiles the cache exists for. Trade: XLA error
+        # messages lose the Python stack in op locations.
         jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # unwritable dir / unsupported backend: run uncached
         pass

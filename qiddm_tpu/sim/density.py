@@ -178,7 +178,9 @@ def apply_channel_all_wires(rho, kind: str, strength):
     for kinds without a closed form.
 
     Phase damping is DIAGONAL (one fused mask multiply). Damping and
-    depolarizing go through the grouped transfer-matrix route
+    depolarizing dispatch on ``config.dm_channel_mode()``: the default
+    "perwire" closed forms (a masked block pass per wire — measured faster
+    on-chip, results/dm_mode_ab.json, DESIGN.md), or "grouped"
     (:func:`apply_channel_all_wires_grouped`): wires fuse into groups of 4
     and each group is ONE dense (4^g x 4^g) superoperator contraction —
     MXU matmul work instead of a per-wire chain of masked block
@@ -189,9 +191,7 @@ def apply_channel_all_wires(rho, kind: str, strength):
         mask = _phase_damp_mask(w, strength, rho.dtype)
         return rho * mask[None]
     if kind in ("amplitude_damping", "depolarizing"):
-        from .. import config as _cfg
-
-        if _cfg.dm_channel_mode() == "grouped":
+        if _config.dm_channel_mode() == "grouped":
             from .channels import kraus_for
 
             return apply_channel_all_wires_grouped(

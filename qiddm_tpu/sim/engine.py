@@ -139,14 +139,33 @@ def _needs_dm(noise: Optional[NoiseModel]) -> bool:
 
 
 def _batch_traced(*xs) -> bool:
-    """True when any arg is a vmap BatchTracer — i.e. this circuit call is
-    inside an outer jax.vmap (label-/trial-stacked programs)."""
+    """True when any arg carries a vmap BatchTracer — i.e. this circuit
+    call is inside an outer jax.vmap (label-/trial-stacked programs).
+
+    BatchTracers can hide UNDER AD tracers (vmap(grad(f)) presents
+    LinearizeTracer(primal=BatchTracer)), so wrappers are unwrapped
+    through their primal/value attributes rather than isinstance-checked
+    at the top level only. Known hole: vmap OF an already-jitted function
+    batches the traced jaxpr without re-running this Python, so it cannot
+    be detected here — compose as jit(vmap(...)) (as every in-repo caller
+    does)."""
     try:
         from jax._src.interpreters.batching import BatchTracer
     except ImportError:  # public path on older jax
         from jax.interpreters.batching import BatchTracer
 
-    return any(isinstance(x, BatchTracer) for x in xs)
+    def carries_batch(x, depth=0):
+        if isinstance(x, BatchTracer):
+            return True
+        if depth >= 8:
+            return False
+        for attr in ("primal", "tangent", "val"):
+            inner = getattr(x, attr, None)
+            if inner is not None and carries_batch(inner, depth + 1):
+                return True
+        return False
+
+    return any(carries_batch(x) for x in xs)
 
 
 def _ad_traced(*xs) -> bool:

@@ -82,11 +82,22 @@ def bench_intensity_sweep(mode: str, n_int=10, batch=10, iters=15, reps=3):
 
 
 def main():
-    # NOTE: bench_raw (the synthetic scan microbench) is skipped on the
-    # axon backend — its program shape hits an UNIMPLEMENTED backend op
-    # and wedges the TPU worker for ~an hour. The two real-workload
-    # benches below are proven program shapes.
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # bench_raw (the synthetic scan microbench) is OPT-IN: on the axon
+    # backend its program shape hits an UNIMPLEMENTED backend op and
+    # wedges the TPU worker for ~an hour. The two real-workload benches
+    # below are proven program shapes and run by default.
+    ap.add_argument("--raw", action="store_true",
+                    help="also run the raw all-wires channel microbench "
+                         "(CPU or full TPU runtimes only — wedges axon)")
+    args = ap.parse_args()
     out = {}
+    if args.raw:
+        for mode in ("perwire", "grouped"):
+            out.setdefault("raw", {})[mode] = bench_raw(mode)
+            print("raw", mode, out["raw"][mode], flush=True)
     for mode in ("perwire", "grouped"):
         v, detail = bench_dm_sampling(mode)
         sw, wall = bench_intensity_sweep(mode)

@@ -253,6 +253,28 @@ def train_ours_column(splits, epochs, families=None, on_family_done=None):
     return out
 
 
+def compute_summary(ref_all, ours_all):
+    """Per-family mean-SSIM table over the labels BOTH columns scored
+    (single definition: the scoring path and --merge recompute must agree;
+    ``wins`` counts ours >= ref, ties included)."""
+    summary = {}
+    for fam in FAMILIES:
+        ref, ours = ref_all.get(fam, {}), ours_all.get(fam, {})
+        common = sorted(set(ref) & set(ours))
+        if not common:
+            continue
+        summary[fam] = {
+            "labels": common,
+            "ref_mean_ssim": float(np.mean(
+                [ref[l]["ssim"] for l in common])),
+            "ours_mean_ssim": float(np.mean(
+                [ours[l]["ssim"] for l in common])),
+            "wins": sum(ours[l]["ssim"] >= ref[l]["ssim"]
+                        for l in common),
+        }
+    return summary
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-train", action="store_true")
@@ -285,26 +307,15 @@ def main():
             for key in ("reference_checkpoints", "ours_trained"):
                 if key in merged:
                     base.setdefault(key, {}).update(merged[key])
+                    # point merged at the UNION so the final base.update
+                    # can't clobber families already present in --out
+                    merged[key] = base[key]
                 elif key in base:
                     merged[key] = base[key]
             base.update({k: v for k, v in merged.items()})
             merged = base
-        summary = {}
-        ref_all = merged.get("reference_checkpoints", {})
-        ours_all = merged.get("ours_trained", {})
-        for fam in FAMILIES:
-            ref, ours = ref_all.get(fam, {}), ours_all.get(fam, {})
-            common = sorted(set(ref) & set(ours))
-            if common:
-                summary[fam] = {
-                    "labels": common,
-                    "ref_mean_ssim": float(np.mean(
-                        [ref[l]["ssim"] for l in common])),
-                    "ours_mean_ssim": float(np.mean(
-                        [ours[l]["ssim"] for l in common])),
-                    "wins": sum(ours[l]["ssim"] >= ref[l]["ssim"]
-                                for l in common),
-                }
+        summary = compute_summary(merged.get("reference_checkpoints", {}),
+                                  merged.get("ours_trained", {}))
         merged["summary"] = summary
         out_path.write_text(json.dumps(merged, indent=2))
         print(json.dumps(summary, indent=2))
@@ -348,22 +359,8 @@ def main():
 
     # per-family means for the QUALITY.md table
     if "reference_checkpoints" in result and "ours_trained" in result:
-        summary = {}
-        for fam in FAMILIES:
-            ref = result["reference_checkpoints"].get(fam, {})
-            ours = result["ours_trained"].get(fam, {})
-            common = sorted(set(ref) & set(ours))
-            if not common:
-                continue
-            summary[fam] = {
-                "labels": common,
-                "ref_mean_ssim": float(np.mean(
-                    [ref[l]["ssim"] for l in common])),
-                "ours_mean_ssim": float(np.mean(
-                    [ours[l]["ssim"] for l in common])),
-                "wins": sum(ours[l]["ssim"] >= ref[l]["ssim"]
-                            for l in common),
-            }
+        summary = compute_summary(result["reference_checkpoints"],
+                                  result["ours_trained"])
         result["summary"] = summary
         print(json.dumps(summary, indent=2))
 
