@@ -456,9 +456,26 @@ def save_orbax(path, variables, *, loss_values=None, epochs: int = 0,
             ckptr.wait_until_finished()
             _write_meta()
 
-        t = threading.Thread(target=_commit_then_meta)  # non-daemon: the
+        err = []
+
+        def _runner():
+            try:
+                _commit_then_meta()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                err.append(e)
+
+        t = threading.Thread(target=_runner)  # non-daemon: the
         t.start()  # interpreter joins it at exit, so meta always lands
-        return types.SimpleNamespace(wait_until_finished=t.join,
+
+        def _wait():
+            # surface background failures (disk full, tensorstore error)
+            # to the caller — a silently-failed "preemption safety" save
+            # would resume from a much older epoch later
+            t.join()
+            if err:
+                raise err[0]
+
+        return types.SimpleNamespace(wait_until_finished=_wait,
                                      checkpointer=ckptr)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)

@@ -301,9 +301,7 @@ def _letters_fallback(side: int, per_class: int = 200):
             img = img.filter(ImageFilter.GaussianBlur(
                 float(rng.uniform(0.5, 2.0))))
             a = np.asarray(img, np.float64)
-            if a.max() <= 0:  # glyph sheared out of frame: rare, skip center
-                a = np.asarray(img, np.float64)
-            else:
+            if a.max() > 0:  # all-black (glyph sheared out): skip centering
                 # center the ink centroid (EMNIST centers by mass)
                 ys, xs = np.mgrid[0:big, 0:big]
                 m = a.sum()

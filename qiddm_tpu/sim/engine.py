@@ -389,6 +389,11 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             and encode in ("rz", "rz_halfpi", "ry") and imprimitive == "cz"
             and cdtype == jnp.complex64  # kernels carry float32 planes
             and wires <= _config.pallas_max_wires()  # Mosaic compile cap
+            # under an outer vmap (label-vmapped training, vmapped sweeps)
+            # jax's default pallas batching rule would batch the kernel
+            # itself, which kernel-faults the TPU worker — same guard as
+            # the sel/qnn/dm routes (:220, :525, :675)
+            and not _batch_traced(x_enc, block_weights)
         )
         if use_gate_kernel:
             from .gates import rot_matrix

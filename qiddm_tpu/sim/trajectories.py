@@ -133,6 +133,16 @@ def apply_channel_trajectory(states, kind: str, strength, key):
     raise ValueError(f"no trajectory unraveling for channel {kind!r}")
 
 
+def _require_key(key):
+    # the sharded route raises the same guidance (sharded.py); without
+    # this, key=None dies deep inside jax.random.split with an opaque
+    # TypeError
+    if key is None:
+        raise ValueError(
+            "the trajectory backend needs a PRNG key: pass "
+            "traj_key=jax.random.PRNGKey(...) alongside n_traj")
+
+
 def _tile_traj(x, n_traj: int):
     return jnp.tile(x, (n_traj,) + (1,) * (x.ndim - 1))
 
@@ -175,6 +185,7 @@ def reupload_block_trajectories(x_enc, block_weights, *, key, n_traj: int,
     x_enc: (batch, wires); block_weights: (L, k, wires, 3); key: PRNGKey.
     Returns (batch, 2^w) probs or (batch, wires) Z-expectations.
     """
+    _require_key(key)
     if cdtype is None:
         cdtype = _config.complex_dtype()
     L, k, wires, _ = block_weights.shape
@@ -209,6 +220,7 @@ def qdense_circuit_trajectories(x, weights, *, key, n_traj: int, noise,
     SEL -> channel at END -> mean probs (reference nn/qdense.py:95-105)."""
     from .gates import WEIGHT_MAPS
 
+    _require_key(key)
     if cdtype is None:
         cdtype = _config.complex_dtype()
     w = WEIGHT_MAPS[weight_map](weights)
@@ -229,6 +241,7 @@ def qnn_circuit_trajectories(x, weights, *, key, n_traj: int, noise,
     (reference nn/qdense.py:249-265 / :162-183)."""
     from .gates import WEIGHT_MAPS
 
+    _require_key(key)
     if cdtype is None:
         cdtype = _config.complex_dtype()
     wires = x.shape[-1]

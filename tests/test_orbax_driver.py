@@ -121,3 +121,20 @@ def test_sweep_orbax_artifacts(tmp_path):
     out = load_orbax(orbs[0], like={"variables": proto.variables})
     assert set(out["variables"]) == set(proto.variables)
     assert out["meta"]["epochs"] == 1
+
+
+def test_async_save_failure_surfaces(tmp_path):
+    """A failed background save must raise on wait_until_finished(), not
+    look successful (a silently-failed preemption-safety checkpoint would
+    resume from a much older epoch later)."""
+    import jax.numpy as jnp
+
+    from qiddm_tpu import ckpt
+
+    p = tmp_path / "ck"
+    # the meta sidecar path exists as a DIRECTORY -> the background
+    # thread's _write_meta fails after the orbax commit
+    (tmp_path / "ck.meta.json").mkdir()
+    h = ckpt.save_orbax(p, {"w": jnp.ones((2,))}, async_save=True)
+    with pytest.raises(IsADirectoryError):
+        h.wait_until_finished()

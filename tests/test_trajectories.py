@@ -321,3 +321,25 @@ def test_sharded_noise_guard_rejects_missing_traj_args():
     with pytest.raises(ValueError, match="n_traj"):
         reupload_block_sharded(x, wq, mesh, noise_kind="depolarizing",
                                noise_strength=0.1)
+
+
+def test_dense_trajectory_missing_key_raises():
+    """key=None must fail with guidance, not a TypeError deep in
+    jax.random.split (parity with the sharded route's guard)."""
+    from qiddm_tpu.sim import engine as eng
+    from qiddm_tpu.sim.engine import NoiseModel
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 3)),
+                    jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(2, 2, 3, 3)) * 0.4,
+                    jnp.float32)
+    nm = NoiseModel("depolarizing", 0.05, "encode")
+    with pytest.raises(ValueError, match="traj_key"):
+        eng.reupload_block(x, w, noise=nm, n_traj=8, traj_key=None)
+    xa = jnp.asarray(np.random.default_rng(2).uniform(size=(2, 8)),
+                     jnp.float32)
+    wq = jnp.asarray(np.random.default_rng(3).normal(size=(4, 3, 3)) * 0.4,
+                     jnp.float32)
+    with pytest.raises(ValueError, match="traj_key"):
+        eng.qdense_circuit(xa, wq, wires=3, noise=NoiseModel(
+            "amplitude_damping", 0.1, "end"), n_traj=8, traj_key=None)

@@ -56,3 +56,37 @@ def test_batch_traced_detector():
     assert seen == [False]
     probe(jnp.ones((3, 2)))
     assert seen == [False, False]
+
+
+def test_reupload_gate_kernel_routes_off_under_vmap(monkeypatch):
+    """Outer vmap must NOT take the gate-chain pallas route (default pallas
+    batching rule kernel-faults the TPU worker — same failure mode the
+    qdense SEL guard covers). Simulate the TPU routing conditions and spy
+    on the kernels."""
+    from qiddm_tpu import config as _cfg
+    from qiddm_tpu.sim import pallas_gate_kernel as pgk
+
+    wires, L, k, B, T = 4, 2, 2, 3, 2  # B < 2**wires -> kernel regime
+    x = jnp.asarray(RNG.uniform(size=(T, B, wires)), jnp.float32)
+    w = jnp.asarray(RNG.normal(size=(T, L, k, wires, 3)) * 0.4, jnp.float32)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(_cfg, "_USE_PALLAS", True)
+
+    def boom(*a, **kw):
+        raise AssertionError("pallas kernel must not run under outer vmap")
+
+    monkeypatch.setattr(pgk, "gate_chain_pallas", boom)
+    monkeypatch.setattr(pgk, "ry_chain_pallas", boom)
+
+    def one(xi, wi):
+        return engine.reupload_block(xi, wi, encode="rz", imprimitive="cz")
+
+    got = np.asarray(jax.vmap(one)(x, w))
+    assert got.shape == (T, B, 2**wires)
+
+    # and the unvmapped call in the same conditions WOULD take the kernel
+    import pytest
+
+    with pytest.raises(AssertionError, match="must not run"):
+        one(x[0], w[0])
