@@ -312,6 +312,34 @@ def bench_traj_noisy_sampling(wires: int = 12, batch: int = 10,
         f"density-matrix backend's ceiling; no reference baseline")
 
 
+def _probe_backend_or_pin_cpu(timeout_s: int = 150) -> str:
+    """Bounded TPU reachability probe. The axon plugin HANGS (no error)
+    when the tunnel is down, which would leave the round with no bench
+    number at all — probe device init in a subprocess first and pin this
+    process to CPU (loudly labeled in the output) if it never comes up."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env_plat = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in env_plat and "axon" not in env_plat:
+        return "cpu(requested)"
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        plat = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        if r.returncode == 0 and plat in ("axon", "tpu"):
+            return plat
+    except subprocess.TimeoutExpired:
+        pass
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback(tpu-unreachable)"
+
+
 def main(argv=None):
     import argparse
     import pathlib
@@ -325,7 +353,14 @@ def main(argv=None):
     # persistent compile cache: qiddm_tpu.config points it at the
     # host-fingerprinted default on import (config._setup_compilation_cache)
 
+    backend = _probe_backend_or_pin_cpu()
+    if backend.startswith("cpu"):
+        print(f"# WARNING: benching on {backend} — throughput numbers "
+              f"are NOT the TPU capability (see results/benchmarks.json "
+              f"for the last on-chip suite)", file=sys.stderr)
+
     primary, detail, util = bench_qiddm_a()
+    primary["device"] = backend
     print(json.dumps(primary))
     print(f"# {detail}", file=sys.stderr)
     print(f"# roofline: {json.dumps(util)}", file=sys.stderr)
