@@ -26,9 +26,20 @@ from . import common
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description="QDDM sampling / serving")
-    p.add_argument("--ckpt", type=str, required=True)
-    p.add_argument("--model", type=str, nargs="+", required=True,
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--model", type=str, nargs="+", default=None,
                    help="Model name and ctor params (as in the training CLI)")
+    p.add_argument("--export", type=str, default=None, metavar="PATH",
+                   help="write an AOT serving artifact (jax.export "
+                        "StableHLO; qiddm_tpu/export.py) for this "
+                        "model+ckpt at the given --n/--iters, then exit")
+    p.add_argument("--export-platforms", type=str, default=None,
+                   help="comma list for cross-platform export, e.g. 'tpu' "
+                        "to emit a TPU artifact from a CPU host")
+    p.add_argument("--from-export", type=str, default=None, metavar="PATH",
+                   help="serve from an AOT artifact instead of "
+                        "--model/--ckpt (no model code or checkpoint "
+                        "needed)")
     p.add_argument("--img_size", type=int, default=28)
     p.add_argument("--n", type=int, default=16, help="images to generate")
     p.add_argument("--iters", type=int, default=15, help="denoise iterations")
@@ -47,18 +58,48 @@ def parse_args(argv):
 
 def main(argv=None):
     args = parse_args(sys.argv[1:] if argv is None else argv)
-    net = common.build_model(list(args.model), seed=args.seed)
-    if (str(args.ckpt).endswith(".orbax")
-            or pathlib.Path(args.ckpt).is_dir()):
-        from ..ckpt import load_orbax
-
-        net.variables = load_orbax(
-            args.ckpt, like={"variables": net.variables})["variables"]
-    else:
-        ckpt = load_checkpoint(args.ckpt)
-        net.variables = ckpt["model_state_dict"]
     s = args.img_size
-    diff = Diffusion(net=net, prediction_goal=args.target, shape=(s, s)).eval()
+    sampler = None
+    if args.from_export:
+        if args.model or args.ckpt:
+            raise SystemExit("--from-export replaces --model/--ckpt")
+        if args.mesh_devices:
+            raise SystemExit("--from-export artifacts pin their sharding "
+                             "at export time; --mesh-devices does not apply")
+        from ..export import load_sampler
+
+        sampler = jax.jit(load_sampler(
+            pathlib.Path(args.from_export).read_bytes()))
+        diff = None
+    else:
+        if not (args.model and args.ckpt):
+            raise SystemExit("need --model and --ckpt (or --from-export)")
+        net = common.build_model(list(args.model), seed=args.seed)
+        if (str(args.ckpt).endswith(".orbax")
+                or pathlib.Path(args.ckpt).is_dir()):
+            from ..ckpt import load_orbax
+
+            net.variables = load_orbax(
+                args.ckpt, like={"variables": net.variables})["variables"]
+        else:
+            ckpt = load_checkpoint(args.ckpt)
+            net.variables = ckpt["model_state_dict"]
+        diff = Diffusion(net=net, prediction_goal=args.target,
+                         shape=(s, s)).eval()
+
+    if args.export:
+        from ..export import export_sampler
+
+        platforms = (tuple(args.export_platforms.split(","))
+                     if args.export_platforms else None)
+        blob = export_sampler(diff, batch=args.n, n_iters=args.iters,
+                              noise_factor=args.noise_factor,
+                              platforms=platforms)
+        pathlib.Path(args.export).write_bytes(blob)
+        print(f"exported AOT sampler -> {args.export} "
+              f"({len(blob)/1e6:.2f} MB, batch={args.n}, "
+              f"iters={args.iters}, platforms={platforms or 'current'})")
+        return None
 
     mesh = None
     if args.mesh_devices:
@@ -75,9 +116,12 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         first_x = jax.random.uniform(sub, (args.n, 1, s, s)) * 0.75 + 0.5
         t0 = time.time()
-        imgs = np.asarray(diff.sample(
-            n_iters=args.iters, first_x=first_x, only_last=True,
-            noise_factor=args.noise_factor, mesh=mesh))
+        if sampler is not None:
+            imgs = np.asarray(sampler(first_x))
+        else:
+            imgs = np.asarray(diff.sample(
+                n_iters=args.iters, first_x=first_x, only_last=True,
+                noise_factor=args.noise_factor, mesh=mesh))
         dt = time.time() - t0
         if b == 0:
             t_first = dt

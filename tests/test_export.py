@@ -1,0 +1,88 @@
+"""AOT serving artifacts (qiddm_tpu/export.py): the exported program
+matches the live sampler numerically, artifacts survive
+serialize/deserialize with no model code, a CPU host can emit the TPU
+artifact (cross-platform lowering), and the CLI round-trips
+--export -> --from-export."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from qiddm_tpu import nn
+from qiddm_tpu.diffusion import Diffusion
+from qiddm_tpu.export import export_sampler, load_sampler
+
+
+def _diff(seed=0):
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 0, seed=seed)
+    return Diffusion(net=net, prediction_goal="data", shape=(8, 8)).eval()
+
+
+def test_export_roundtrip_matches_live_sampler():
+    diff = _diff()
+    blob = export_sampler(diff, batch=5, n_iters=3)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    fn = load_sampler(blob)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 1, 8, 8)) * 0.75 + 0.5
+    got = np.asarray(fn(x))
+    want = np.asarray(diff.sample_fn(diff.net.variables, x, 3,
+                                     only_last=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_is_self_contained_grid_mode():
+    """only_last=False emits the reference's stacked grid; the loaded
+    callable needs no qiddm_tpu state (variables are program constants)."""
+    diff = _diff(seed=3)
+    blob = export_sampler(diff, batch=2, n_iters=4, only_last=False)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 1, 8, 8))
+    want = np.asarray(diff.sample_fn(diff.net.variables, x, 4))
+    # mutate the live model afterwards — the artifact must not care
+    diff.net.variables = jax.tree_util.tree_map(
+        lambda a: a * 0, diff.net.variables)
+    got = np.asarray(load_sampler(blob)(x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got.shape == (5 * 8, 2 * 8)
+
+
+def test_export_cross_platform_tpu_artifact():
+    """A CPU build host can emit the TPU serving artifact (execution then
+    needs a TPU — only the lowering/serialization is asserted here)."""
+    blob = export_sampler(_diff(), batch=2, n_iters=2, platforms=("tpu",))
+    exp = jax.export.deserialize(bytearray(blob))
+    assert [p.lower() for p in exp.platforms] == ["tpu"]
+
+
+def test_export_rejects_trajectory_models():
+    from qiddm_tpu.cli.common import with_noise
+
+    net = nn.QIDDM_LL_noise(64, 4, 2, 1, 1, seed=0)
+    net = with_noise(net, 1, 0.05, noise_trajectories=16)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(8, 8)).eval()
+    with pytest.raises(ValueError, match="trajectory"):
+        export_sampler(diff, batch=2, n_iters=2)
+
+
+def test_sample_cli_export_roundtrip(tmp_path):
+    from qiddm_tpu.ckpt import save_diffusion
+    from qiddm_tpu.cli import sample as sample_cli
+
+    diff = _diff(seed=7)
+    ckpt_path = save_diffusion(diff, str(tmp_path), 0, [0.5], 1)
+    art = tmp_path / "sampler.shlo"
+    base = ["--model", "QIDDM_LL_noise", "64", "4", "2", "1",
+            "--img_size", "8", "--n", "6", "--iters", "3"]
+    out = sample_cli.main(["--ckpt", str(ckpt_path), *base,
+                           "--export", str(art)])
+    assert out is None and art.exists()
+
+    served = sample_cli.main(["--from-export", str(art),
+                              "--img_size", "8", "--n", "6", "--iters", "3",
+                              "--out", str(tmp_path / "s"),
+                              "--format", "npz", "--seed", "5"])
+    direct = sample_cli.main(["--ckpt", str(ckpt_path), *base,
+                              "--out", str(tmp_path / "d"),
+                              "--format", "npz", "--seed", "5"])
+    np.testing.assert_allclose(np.asarray(served), np.asarray(direct),
+                               atol=1e-5)

@@ -139,7 +139,10 @@ def test_bench_main_driver_contract(monkeypatch, capsys):
     lines = [ln for ln in out.out.splitlines() if ln.strip()]
     assert len(lines) == 1, lines
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # device records which backend actually ran (honest labeling when the
+    # TPU tunnel is down and bench falls back to CPU)
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline", "device"}
+    assert rec["device"].startswith("cpu")  # test env pins cpu
     assert all(ln.startswith("#") for ln in out.err.splitlines()
                if ln.strip())
 
@@ -415,3 +418,19 @@ def test_ad_traced_detects_grad_tracers():
     jax.grad(f)(x)
     jax.jvp(f, (x,), (x,))
     assert seen == [False, True, True], seen
+
+
+def test_bench_probe_honors_cpu_request(monkeypatch):
+    """bench.py must not hang when the TPU tunnel is down: with
+    JAX_PLATFORMS=cpu (the test env) the probe short-circuits without
+    spawning the (150 s) subprocess probe."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import bench
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    def no_subprocess(*a, **kw):  # pragma: no cover - must not be reached
+        raise AssertionError("cpu request must skip the subprocess probe")
+
+    monkeypatch.setattr(subprocess, "run", no_subprocess)
+    assert bench._probe_backend_or_pin_cpu() == "cpu(requested)"
