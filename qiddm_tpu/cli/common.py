@@ -14,6 +14,7 @@ import argparse
 import dataclasses
 import pathlib
 import pickle
+import sys
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -261,8 +262,18 @@ def make_first_x(args, n: int = 10):
 
 def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
     """Reference train() (src/mnist_exm.py:148-203): Adam, remaining epochs,
-    checkpoint at <save_path>/<save_name>_<label>.pt."""
+    checkpoint at <save_path>/<save_name>_<label>.pt.
+
+    Preemption-safe: SIGTERM/SIGINT mid-training is deferred to the next
+    segment boundary, where the current state is checkpointed and the
+    process exits 128+signum; rerunning the same command resumes from
+    that checkpoint (load_model's normal path). A running XLA program
+    cannot be interrupted, so ``--checkpoint-every`` bounds both the
+    checkpoint interval and the preemption latency — set it well inside
+    the preemption grace period on preemptible TPU pods.
+    """
     import contextlib
+    import signal as _signal
 
     from ..profiler import device_trace
 
@@ -271,35 +282,68 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
     ckpt_every = getattr(args, "checkpoint_every", 0) or 0
     backend = getattr(args, "ckpt_backend", "pt")
     pending_ckptr = None  # last async orbax save, joined before returning
+
+    caught = {"sig": None}
+
+    def _defer_to_boundary(signum, frame):
+        caught["sig"] = signum
+        print(f"[preempt] caught signal {signum}; checkpointing at the "
+              f"next segment boundary", file=sys.stderr)
+
+    prev_handlers = {}
+    for s in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            prev_handlers[s] = _signal.signal(s, _defer_to_boundary)
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            pass
+
     trace_ctx = (device_trace(args.profile)
                  if getattr(args, "profile", None) else
                  contextlib.nullcontext())
-    with trace_ctx:
-        done = start_epoch
-        opt_state = None  # threaded across segments: Adam moments persist
-        while remaining > 0:
-            seg = min(remaining, ckpt_every) if ckpt_every else remaining
-            losses, wall, opt_state = train_diffusion_scan(
-                diff, x_train, epochs=seg, batch_size=args.batch_size,
-                lr=args.lr, T=args.tau, warmup=False,
-                key=jax.random.PRNGKey(args.seed + done),
-                opt_state=opt_state, return_opt_state=True)
-            loss_values = list(loss_values) + [float(v) for v in losses]
-            done += seg
-            remaining -= seg
-            print(f"trained {seg} epochs in {wall:.3f}s incl. compile "
-                  f"({len(x_train) * seg / max(wall, 1e-9):.0f} images/s)")
-            if ckpt_every and remaining > 0:
-                # mid-training saves run async under orbax (the next
-                # segment starts while arrays persist in the background);
-                # join the previous in-flight save first — they target the
-                # same checkpoint path
-                if pending_ckptr is not None and hasattr(
-                        pending_ckptr, "wait_until_finished"):
-                    pending_ckptr.wait_until_finished()
-                pending_ckptr = save_diffusion(
-                    diff, args.save_path, args.label, loss_values, done,
-                    backend=backend, async_save=(backend == "orbax"))
+    try:
+        with trace_ctx:
+            done = start_epoch
+            opt_state = None  # threaded across segments: Adam moments persist
+            while remaining > 0:
+                seg = min(remaining, ckpt_every) if ckpt_every else remaining
+                losses, wall, opt_state = train_diffusion_scan(
+                    diff, x_train, epochs=seg, batch_size=args.batch_size,
+                    lr=args.lr, T=args.tau, warmup=False,
+                    key=jax.random.PRNGKey(args.seed + done),
+                    opt_state=opt_state, return_opt_state=True)
+                loss_values = list(loss_values) + [float(v) for v in losses]
+                done += seg
+                remaining -= seg
+                print(f"trained {seg} epochs in {wall:.3f}s incl. compile "
+                      f"({len(x_train) * seg / max(wall, 1e-9):.0f} "
+                      f"images/s)")
+                if caught["sig"] is not None and remaining > 0:
+                    if pending_ckptr is not None and hasattr(
+                            pending_ckptr, "wait_until_finished"):
+                        pending_ckptr.wait_until_finished()
+                    final = save_diffusion(diff, args.save_path, args.label,
+                                           loss_values, done,
+                                           backend=backend)
+                    if hasattr(final, "wait_until_finished"):
+                        final.wait_until_finished()
+                    print(f"[preempt] checkpoint saved at epoch {done}/"
+                          f"{args.epochs}; rerun the same command to "
+                          f"resume", file=sys.stderr)
+                    raise SystemExit(128 + caught["sig"])
+                if ckpt_every and remaining > 0:
+                    # mid-training saves run async under orbax (the next
+                    # segment starts while arrays persist in the
+                    # background); join the previous in-flight save first —
+                    # they target the same checkpoint path
+                    if pending_ckptr is not None and hasattr(
+                            pending_ckptr, "wait_until_finished"):
+                        pending_ckptr.wait_until_finished()
+                    pending_ckptr = save_diffusion(
+                        diff, args.save_path, args.label, loss_values, done,
+                        backend=backend, async_save=(backend == "orbax"))
+    finally:
+        for s, h in prev_handlers.items():
+            _signal.signal(s, h)
     if pending_ckptr is not None and hasattr(pending_ckptr,
                                              "wait_until_finished"):
         pending_ckptr.wait_until_finished()
