@@ -321,22 +321,31 @@ def _probe_backend_or_pin_cpu(timeout_s: int = 150) -> str:
     import subprocess
     import sys as _sys
 
-    env_plat = os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in env_plat and "axon" not in env_plat:
+    plats = [p.strip() for p in
+             os.environ.get("JAX_PLATFORMS", "").split(",") if p.strip()]
+    if plats and plats[0] == "cpu":
+        # an explicit CPU-first request ("cpu", "cpu,axon"); a TPU-first
+        # list like "tpu,cpu" must still probe
         return "cpu(requested)"
+    probed = ""
     try:
         r = subprocess.run(
             [_sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s)
-        plat = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-        if r.returncode == 0 and plat in ("axon", "tpu"):
-            return plat
+        probed = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        if r.returncode == 0 and probed in ("axon", "tpu"):
+            return probed
     except subprocess.TimeoutExpired:
         pass
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:  # backend already initialized — too late to pin
+        pass
+    if probed:  # probe succeeded but found no TPU: no plugin on this host
+        return f"cpu(no-tpu-backend:{probed})"
     return "cpu-fallback(tpu-unreachable)"
 
 

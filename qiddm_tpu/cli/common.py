@@ -297,6 +297,24 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
         except ValueError:  # not the main thread (e.g. under a test runner)
             pass
 
+    def _join(ckptr):
+        if ckptr is not None and hasattr(ckptr, "wait_until_finished"):
+            ckptr.wait_until_finished()
+
+    def _save(epochs_done, *, async_save=False):
+        # saves target the same path — join the previous in-flight async
+        # save first, and (for sync saves) the returned checkpointer too
+        nonlocal pending_ckptr
+        _join(pending_ckptr)
+        pending_ckptr = None
+        out = save_diffusion(diff, args.save_path, args.label, loss_values,
+                             epochs_done, backend=backend,
+                             async_save=async_save)
+        if async_save:
+            pending_ckptr = out
+        else:
+            _join(out)
+
     trace_ctx = (device_trace(args.profile)
                  if getattr(args, "profile", None) else
                  contextlib.nullcontext())
@@ -317,40 +335,23 @@ def train(diff, args, x_train, start_epoch: int, loss_values: List[float]):
                 print(f"trained {seg} epochs in {wall:.3f}s incl. compile "
                       f"({len(x_train) * seg / max(wall, 1e-9):.0f} "
                       f"images/s)")
-                if caught["sig"] is not None and remaining > 0:
-                    if pending_ckptr is not None and hasattr(
-                            pending_ckptr, "wait_until_finished"):
-                        pending_ckptr.wait_until_finished()
-                    final = save_diffusion(diff, args.save_path, args.label,
-                                           loss_values, done,
-                                           backend=backend)
-                    if hasattr(final, "wait_until_finished"):
-                        final.wait_until_finished()
+                if caught["sig"] is not None:
+                    # also fires when this was the final segment: the pod's
+                    # grace period is running out — checkpoint and exit
+                    # instead of proceeding to test/score/next label
+                    _save(done)
                     print(f"[preempt] checkpoint saved at epoch {done}/"
                           f"{args.epochs}; rerun the same command to "
                           f"resume", file=sys.stderr)
                     raise SystemExit(128 + caught["sig"])
                 if ckpt_every and remaining > 0:
                     # mid-training saves run async under orbax (the next
-                    # segment starts while arrays persist in the
-                    # background); join the previous in-flight save first —
-                    # they target the same checkpoint path
-                    if pending_ckptr is not None and hasattr(
-                            pending_ckptr, "wait_until_finished"):
-                        pending_ckptr.wait_until_finished()
-                    pending_ckptr = save_diffusion(
-                        diff, args.save_path, args.label, loss_values, done,
-                        backend=backend, async_save=(backend == "orbax"))
+                    # segment starts while arrays persist in the background)
+                    _save(done, async_save=(backend == "orbax"))
     finally:
         for s, h in prev_handlers.items():
             _signal.signal(s, h)
-    if pending_ckptr is not None and hasattr(pending_ckptr,
-                                             "wait_until_finished"):
-        pending_ckptr.wait_until_finished()
-    final = save_diffusion(diff, args.save_path, args.label, loss_values,
-                           args.epochs, backend=backend)
-    if hasattr(final, "wait_until_finished"):
-        final.wait_until_finished()
+    _save(args.epochs)
     return loss_values
 
 

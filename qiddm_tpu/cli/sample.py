@@ -63,9 +63,15 @@ def main(argv=None):
     if args.from_export:
         if args.model or args.ckpt:
             raise SystemExit("--from-export replaces --model/--ckpt")
+        if args.export:
+            raise SystemExit("--export needs --model/--ckpt; it cannot "
+                             "re-export a loaded artifact")
         if args.mesh_devices:
             raise SystemExit("--from-export artifacts pin their sharding "
                              "at export time; --mesh-devices does not apply")
+        print("note: --iters/--noise_factor were pinned at export time; "
+              "the CLI values do not apply to the artifact",
+              file=sys.stderr)
         from ..export import load_sampler
 
         sampler = jax.jit(load_sampler(
@@ -140,7 +146,9 @@ def main(argv=None):
         for i in range(len(imgs)):
             plt.imsave(out_dir / f"sample_{i:04d}.png", imgs[i, 0],
                        cmap="gray")
-    msg = (f"generated {len(imgs)} images ({args.iters} iters) -> {out_dir}; "
+    iters_note = ("artifact-pinned iters" if sampler is not None
+                  else f"{args.iters} iters")
+    msg = (f"generated {len(imgs)} images ({iters_note}) -> {out_dir}; "
            f"first batch {t_first:.2f}s (incl compile)")
     if args.batches > 1:
         steady = (args.batches - 1) * args.n / t_rest

@@ -68,3 +68,37 @@ def test_sigterm_checkpoints_and_resumes(tmp_path, monkeypatch):
                                       1)
     assert epochs2 == 4 and len(losses2) == 4
     np.testing.assert_allclose(losses2[:1], losses, atol=0)
+
+
+def test_sigterm_in_final_segment_still_exits(tmp_path, monkeypatch):
+    """No --checkpoint-every (one segment = the whole run): a signal
+    caught during that segment must still checkpoint and exit 128+signum
+    instead of proceeding to test/score (the pod's grace period is
+    running out)."""
+    from qiddm_tpu.cli import common, mnist_exm
+
+    monkeypatch.chdir(tmp_path)
+    args = mnist_exm.parse_args([
+        "--model", "QIDDM_LL_noise", "64", "3", "1", "1",
+        "--data", "mnist_8x8", "--img_size", "8",
+        "--ds-size", "60", "--epochs", "2", "--batch_size", "8",
+        "--tau", "2",
+        "--save-path", str(tmp_path) + "/f_",
+        "--load-path", str(tmp_path) + "/f_"])
+
+    real_scan = common.train_diffusion_scan
+
+    def scan_then_signal(*a, **kw):
+        out = real_scan(*a, **kw)
+        os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    monkeypatch.setattr(common, "train_diffusion_scan", scan_then_signal)
+    with pytest.raises(SystemExit) as ei:
+        common.run_labels(args, labels=[1], tau_test=3)
+    assert ei.value.code == 128 + signal.SIGTERM
+
+    net = nn.QIDDM_LL_noise(64, 3, 1, 1, 0, seed=999)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(8, 8))
+    losses, epochs = load_diffusion(diff, str(tmp_path) + "/f_1/noise_0", 1)
+    assert epochs == 2 and len(losses) == 2  # full state landed
