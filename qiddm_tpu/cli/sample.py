@@ -36,6 +36,11 @@ def parse_args(argv):
     p.add_argument("--export-platforms", type=str, default=None,
                    help="comma list for cross-platform export, e.g. 'tpu' "
                         "to emit a TPU artifact from a CPU host")
+    p.add_argument("--export-batches", type=str, default=None,
+                   help="comma list of batch sizes (e.g. '1,8,64') to "
+                        "export a BUCKETED bundle instead of the single "
+                        "--n batch; --from-export then serves any "
+                        "request size")
     p.add_argument("--from-export", type=str, default=None, metavar="PATH",
                    help="serve from an AOT artifact instead of "
                         "--model/--ckpt (no model code or checkpoint "
@@ -72,10 +77,11 @@ def main(argv=None):
         print("note: --iters/--noise_factor were pinned at export time; "
               "the CLI values do not apply to the artifact",
               file=sys.stderr)
-        from ..export import load_sampler
+        from ..export import is_bundle, load_sampler, load_sampler_bundle
 
-        sampler = jax.jit(load_sampler(
-            pathlib.Path(args.from_export).read_bytes()))
+        blob = pathlib.Path(args.from_export).read_bytes()
+        sampler = (load_sampler_bundle(blob) if is_bundle(blob)
+                   else jax.jit(load_sampler(blob)))
         diff = None
     else:
         if not (args.model and args.ckpt):
@@ -94,16 +100,24 @@ def main(argv=None):
                          shape=(s, s)).eval()
 
     if args.export:
-        from ..export import export_sampler
+        from ..export import export_sampler, export_sampler_bundle
 
         platforms = (tuple(args.export_platforms.split(","))
                      if args.export_platforms else None)
-        blob = export_sampler(diff, batch=args.n, n_iters=args.iters,
-                              noise_factor=args.noise_factor,
-                              platforms=platforms)
+        if args.export_batches:
+            batches = [int(b) for b in args.export_batches.split(",")]
+            blob = export_sampler_bundle(
+                diff, batches=batches, n_iters=args.iters,
+                noise_factor=args.noise_factor, platforms=platforms)
+            what = f"bucketed bundle batches={sorted(set(batches))}"
+        else:
+            blob = export_sampler(diff, batch=args.n, n_iters=args.iters,
+                                  noise_factor=args.noise_factor,
+                                  platforms=platforms)
+            what = f"batch={args.n}"
         pathlib.Path(args.export).write_bytes(blob)
         print(f"exported AOT sampler -> {args.export} "
-              f"({len(blob)/1e6:.2f} MB, batch={args.n}, "
+              f"({len(blob)/1e6:.2f} MB, {what}, "
               f"iters={args.iters}, platforms={platforms or 'current'})")
         return None
 

@@ -86,3 +86,47 @@ def test_sample_cli_export_roundtrip(tmp_path):
                               "--format", "npz", "--seed", "5"])
     np.testing.assert_allclose(np.asarray(served), np.asarray(direct),
                                atol=1e-5)
+
+
+def test_bundle_serves_any_request_size():
+    """Bucketed bundle: smallest bucket >= n with row padding; oversize
+    requests chunk through the largest bucket. Per-image denoising is
+    batch-independent, so every row must equal the live sampler's."""
+    from qiddm_tpu.export import (export_sampler_bundle, is_bundle,
+                                  load_sampler, load_sampler_bundle)
+
+    diff = _diff(seed=11)
+    blob = export_sampler_bundle(diff, batches=[2, 4], n_iters=3)
+    assert is_bundle(blob)
+    serve = load_sampler_bundle(blob)
+    for n in (1, 2, 3, 4, 5, 9):
+        x = jax.random.uniform(jax.random.PRNGKey(n), (n, 1, 8, 8))
+        got = np.asarray(serve(x))
+        want = np.asarray(diff.sample_fn(diff.net.variables, x, 3,
+                                         only_last=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # single-batch artifacts are NOT bundles and the loaders cross-reject
+    single = export_sampler(diff, batch=2, n_iters=2)
+    assert not is_bundle(single)
+    with pytest.raises(ValueError, match="bundle"):
+        load_sampler_bundle(single)
+    assert load_sampler is not None  # loaders coexist
+
+
+def test_sample_cli_bundle_roundtrip(tmp_path):
+    from qiddm_tpu.ckpt import save_diffusion
+    from qiddm_tpu.cli import sample as sample_cli
+
+    diff = _diff(seed=13)
+    ckpt_path = save_diffusion(diff, str(tmp_path), 0, [0.5], 1)
+    art = tmp_path / "bundle.shlo"
+    sample_cli.main(["--ckpt", str(ckpt_path),
+                     "--model", "QIDDM_LL_noise", "64", "4", "2", "1",
+                     "--img_size", "8", "--iters", "3",
+                     "--export", str(art), "--export-batches", "2,4"])
+    served = sample_cli.main(["--from-export", str(art),
+                              "--img_size", "8", "--n", "7", "--iters", "3",
+                              "--out", str(tmp_path / "s"),
+                              "--format", "npz"])
+    assert np.asarray(served).shape == (7, 1, 8, 8)
