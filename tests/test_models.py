@@ -283,3 +283,29 @@ def test_dm_wire_cap_enforced_on_noise_route():
     with pytest.raises(ValueError, match="capped at 12 wires"):
         sim.qdense_circuit(x, w, wires=13,
                            noise=sim.NoiseModel("amplitude_damping", 0.1))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ctor,args,_save", ZOO,
+                         ids=[c.__name__ for c, a, s in ZOO])
+def test_every_zoo_member_trains(ctor, args, _save):
+    """Gradient flow to the quantum weights for ALL 28 public classes —
+    including the ones whose reference releases sever gradients
+    (torch.tensor wraps at nn/qdense.py:278-281,1065,2409; this framework
+    builds the intended behavior, COMPAT.md)."""
+    net = ctor(*args)
+    x = _img()
+
+    def loss(params):
+        variables = {"params": params, **net.extra_variables}
+        mutable = net.mutable_collections
+        out = net.module.apply(variables, x, train=True, mutable=mutable)
+        y = out[0] if mutable else out
+        return jnp.mean((y - 0.5) ** 2)
+
+    g = jax.grad(loss)(net.params)
+    leaves = {p: np.abs(np.asarray(v)).max()
+              for p, v in jax.tree_util.tree_leaves_with_path(g)}
+    qleaf = [v for p, v in leaves.items() if "qweights" in str(p)]
+    assert qleaf and all(np.isfinite(v) for v in qleaf)
+    assert max(qleaf) > 0, "quantum weights got zero gradient"
