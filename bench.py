@@ -187,6 +187,40 @@ def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5,
     }, f"batch={batch}, {iters} denoise iters, wall/rep={wall * 1e3:.1f}ms"
 
 
+def bench_aot_serving(batch: int = 1024, iters: int = 15, reps: int = 5):
+    """Serving from an AOT export artifact (qiddm_tpu/export.py): the
+    flagship sampler serialized to StableHLO, reloaded with no model
+    code, jit-wrapped, timed — proves the deployment path carries the
+    live path's throughput (same program, constants baked in)."""
+    import jax
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.diffusion import Diffusion
+    from qiddm_tpu.export import export_sampler, load_sampler
+
+    net = nn.QIDDM_LL_noise(784, 6, 14, 2, 0)
+    diff = Diffusion(net=net, prediction_goal="data",
+                     shape=(28, 28)).eval()
+    blob = export_sampler(diff, batch=batch, n_iters=iters)
+    serve = jax.jit(load_sampler(blob))
+    key = jax.random.PRNGKey(9)
+    first_x = jax.random.uniform(key, (batch, 1, 28, 28)) * 0.75 + 0.5
+    _sync(serve(first_x))
+    t0 = time.time()
+    for _ in range(reps):
+        out = serve(first_x)
+    _sync(out)
+    wall = (time.time() - t0) / reps
+    v = batch / wall
+    return {
+        "metric": "aot_serving_images_per_sec_qiddm_ll_tau15",
+        "value": round(v, 1),
+        "unit": "images/s",
+        "vs_baseline": round(v / REFERENCE_SAMPLE_IMAGES_PER_SEC, 1),
+    }, (f"batch={batch}, {iters} iters, artifact {len(blob)/1e6:.2f} MB, "
+        f"wall/rep={wall * 1e3:.1f}ms")
+
+
 def bench_noise_dm_sampling(batch: int = 10, iters: int = 15, reps: int = 3,
                             size: int = 28, hidden: int = 8, L: int = 6,
                             N: int = 2):
@@ -382,6 +416,7 @@ def main(argv=None):
                                          tag="_batch4096_serving")
         wide20 = lambda: bench_wide_reupload(wires=20, steps=20)
         for fn in (bench_qiddm_ll_flagship, bench_sampling, serving,
+                   bench_aot_serving,
                    bench_noise_dm_sampling, bench_traj_noisy_sampling,
                    bench_wide_reupload, wide20):
             rec = fn()
