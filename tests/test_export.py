@@ -49,9 +49,28 @@ def test_export_is_self_contained_grid_mode():
 def test_export_cross_platform_tpu_artifact():
     """A CPU build host can emit the TPU serving artifact (execution then
     needs a TPU — only the lowering/serialization is asserted here)."""
+    from qiddm_tpu import export as export_mod
+
     blob = export_sampler(_diff(), batch=2, n_iters=2, platforms=("tpu",))
-    exp = jax.export.deserialize(bytearray(blob))
+    header, rest = export_mod._unpack(blob)
+    exp = jax.export.deserialize(bytearray(rest[header["var_len"]:]))
     assert [p.lower() for p in exp.platforms] == ["tpu"]
+
+
+def test_export_variables_hot_swap():
+    """Variables ride as program ARGUMENTS (not baked constants — the
+    constants route made wide compose-circuits 7x slower, see export.py
+    docstring), so retrained weights hot-swap into an existing artifact."""
+    d1, d2 = _diff(seed=0), _diff(seed=5)
+    blob = export_sampler(d1, batch=3, n_iters=2)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (3, 1, 8, 8))
+    want2 = np.asarray(d2.sample_fn(d2.net.variables, x, 2, only_last=True))
+    got2 = np.asarray(load_sampler(blob, variables=d2.net.variables)(x))
+    np.testing.assert_allclose(got2, want2, atol=1e-5)
+    # and without the override it still serves d1's weights
+    want1 = np.asarray(d1.sample_fn(d1.net.variables, x, 2, only_last=True))
+    np.testing.assert_allclose(np.asarray(load_sampler(blob)(x)), want1,
+                               atol=1e-5)
 
 
 def test_export_rejects_trajectory_models():
