@@ -1,0 +1,120 @@
+"""One-command repo health check (the /verify recipe, executable).
+
+  JAX_PLATFORMS=cpu python tools/selfcheck.py        # CPU (always works)
+  python tools/selfcheck.py                          # current backend
+
+Runs, in order: library boundary (jitted qdense program), graft entry
+compile, 8-virtual-device multichip dryrun (subprocess), a tiny
+end-to-end driver run (subprocess), and an AOT export/serve round trip.
+Prints one PASS/FAIL line per step and exits nonzero on any failure.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+FAILED = []
+
+
+def step(name):
+    def deco(fn):
+        t0 = time.time()
+        try:
+            fn()
+            print(f"PASS  {name} ({time.time() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — report and continue
+            FAILED.append(name)
+            print(f"FAIL  {name}: {type(e).__name__}: {e}")
+        return fn
+    return deco
+
+
+def _sub_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    return env
+
+
+@step("library boundary (jitted qdense)")
+def _lib():
+    import jax
+    import numpy as np
+
+    from qiddm_tpu import sim
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (88, 64))
+    w = jax.random.normal(key, (10, 6, 3)) * 0.4
+    p = jax.jit(lambda x, w: sim.qdense_circuit(x, w, wires=6))(x, w)
+    assert np.allclose(np.asarray(p).sum(1), 1.0, atol=1e-4)
+
+
+@step("graft entry compiles")
+def _entry():
+    import jax
+
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    assert jax.jit(fn).lower(*args).compile() is not None
+
+
+@step("multichip dryrun (8 virtual CPU devices)")
+def _multichip():
+    env = _sub_env()
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-800:]
+
+
+@step("driver end-to-end (tiny mnist_exm)")
+def _driver():
+    with tempfile.TemporaryDirectory() as td:
+        r = subprocess.run(
+            [sys.executable, "-m", "qiddm_tpu.cli.mnist_exm",
+             "--model", "QIDDM_LL_noise", "64", "3", "1", "1",
+             "--data", "mnist_8x8", "--img_size", "8", "--ds-size", "60",
+             "--epochs", "1", "--batch_size", "8", "--tau", "2",
+             "--device", "cpu",
+             "--save-path", td + "/s_", "--load-path", td + "/s_"],
+            cwd=td, env=_sub_env(), capture_output=True, text=True,
+            timeout=900)
+        assert r.returncode == 0, r.stderr[-800:]
+        assert "Last SSIM values" in r.stdout
+
+
+@step("AOT export/serve round trip")
+def _export():
+    import jax
+    import numpy as np
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.diffusion import Diffusion
+    from qiddm_tpu.export import export_sampler, load_sampler
+
+    net = nn.QIDDM_LL_noise(64, 3, 1, 1, 0, seed=0)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(8, 8)).eval()
+    blob = export_sampler(diff, batch=4, n_iters=3)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 1, 8, 8))
+    got = np.asarray(load_sampler(blob)(x))
+    want = np.asarray(diff.sample_fn(diff.net.variables, x, 3,
+                                     only_last=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+if FAILED:
+    print(f"\n{len(FAILED)} step(s) FAILED: {', '.join(FAILED)}")
+    sys.exit(1)
+print("\nall selfcheck steps passed")
