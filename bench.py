@@ -202,7 +202,7 @@ def bench_aot_serving(batch: int = 1024, iters: int = 15, reps: int = 5):
     diff = Diffusion(net=net, prediction_goal="data",
                      shape=(28, 28)).eval()
     blob = export_sampler(diff, batch=batch, n_iters=iters)
-    serve = jax.jit(load_sampler(blob))
+    serve = load_sampler(blob)  # already jitted, weights as runtime args
     key = jax.random.PRNGKey(9)
     first_x = jax.random.uniform(key, (batch, 1, 28, 28)) * 0.75 + 0.5
     _sync(serve(first_x))

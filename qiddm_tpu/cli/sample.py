@@ -80,12 +80,17 @@ def main(argv=None):
         from ..export import is_bundle, load_sampler, load_sampler_bundle
 
         blob = pathlib.Path(args.from_export).read_bytes()
+        # loaders return already-jitted callables with weights as runtime
+        # arguments; an outer jax.jit would re-bake them as constants
         sampler = (load_sampler_bundle(blob) if is_bundle(blob)
-                   else jax.jit(load_sampler(blob)))
+                   else load_sampler(blob))
         diff = None
     else:
         if not (args.model and args.ckpt):
             raise SystemExit("need --model and --ckpt (or --from-export)")
+        if args.export_batches and not args.export:
+            raise SystemExit("--export-batches selects the bucket ladder "
+                             "of an AOT bundle; it needs --export PATH")
         net = common.build_model(list(args.model), seed=args.seed)
         if (str(args.ckpt).endswith(".orbax")
                 or pathlib.Path(args.ckpt).is_dir()):

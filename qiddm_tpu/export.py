@@ -20,6 +20,15 @@ and the loader partially applies the stored variables — which also
 allows hot-swapping retrained weights into an existing artifact
 (``load_sampler(blob, variables=...)``).
 
+The loaders return ALREADY-JITTED callables with the variables passed as
+runtime arguments on every invocation. Do NOT re-wrap them in
+``jax.jit``: an outer jit would close over the weights and re-embed them
+as compile-time constants, re-enabling the exact constant-folding
+slowdown this format exists to avoid.
+
+Artifacts carry variables pickle-free (raw npz + a JSON key-path table),
+so loading an artifact executes no embedded code.
+
 Surface:
 
 * :func:`export_sampler` / :func:`load_sampler` — single batch size
@@ -31,17 +40,21 @@ Surface:
 
 from __future__ import annotations
 
+import io
 import json
-import pickle
 import struct
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_ARTIFACT_MAGIC = b"QSA2"
-_BUNDLE_MAGIC = b"QSB2"
-_BUNDLE_MAGIC_V1 = b"QSB1"  # round-3 interim format: constants-mode buckets
+_ARTIFACT_MAGIC = b"QSA3"
+_BUNDLE_MAGIC = b"QSB3"
+# round-3 interim formats, no longer readable: QSA2/QSB2 carried the
+# variables as a pickle (arbitrary-code-execution on load of an untrusted
+# artifact); QSB1 baked variables as program constants. Nothing shipped
+# in these formats — loaders reject them with a re-export pointer.
+_RETIRED_MAGICS = (b"QSA2", b"QSB2", b"QSB1")
 
 
 def _check_exportable(diff):
@@ -52,10 +65,65 @@ def _check_exportable(diff):
             "clean model or use the density-matrix backend")
 
 
+_KEY_TAGS = {
+    jax.tree_util.DictKey: "d",
+    jax.tree_util.SequenceKey: "s",
+}
+
+
 def _var_blob(variables):
-    # snapshot to host numpy so later training of the live model cannot
-    # alter the artifact
-    return pickle.dumps(jax.tree_util.tree_map(np.asarray, variables))
+    """Encode a variables pytree (nested dicts/lists of arrays) WITHOUT
+    pickle: a JSON table of tagged key-paths + one npz of raw arrays.
+    Snapshots to host numpy so later training of the live model cannot
+    alter the artifact."""
+    leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
+    paths, arrays = [], {}
+    for i, (path, leaf) in enumerate(leaves):
+        keys = []
+        for k in path:
+            tag = _KEY_TAGS.get(type(k))
+            if tag == "d" and isinstance(k.key, str):
+                keys.append(["d", k.key])
+            elif tag == "s":
+                keys.append(["s", k.idx])
+            else:
+                raise ValueError(
+                    f"variables tree has a non-dict/list container key "
+                    f"{k!r}; AOT artifacts store str-keyed dicts and lists "
+                    f"only")
+        paths.append(keys)
+        arrays[f"a{i}"] = np.asarray(leaf)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return paths, buf.getvalue()
+
+
+def _vars_from_blob(paths, vb):
+    if len(paths) == 1 and not paths[0]:  # a single bare array
+        with np.load(io.BytesIO(vb), allow_pickle=False) as z:
+            return z["a0"]
+    tree = {}
+    with np.load(io.BytesIO(vb), allow_pickle=False) as z:
+        for i, keys in enumerate(paths):
+            node = tree
+            for (tag, key), (ntag, nkey) in zip(keys[:-1], keys[1:]):
+                nxt = {} if ntag == "d" else []
+                if tag == "d":
+                    node = node.setdefault(key, nxt)
+                else:
+                    while len(node) <= key:
+                        node.append(None)
+                    if node[key] is None:
+                        node[key] = nxt
+                    node = node[key]
+            tag, key = keys[-1]
+            if tag == "d":
+                node[key] = z[f"a{i}"]
+            else:
+                while len(node) <= key:
+                    node.append(None)
+                node[key] = z[f"a{i}"]
+    return tree
 
 
 def _export_program(diff, variables, *, batch, n_iters, only_last,
@@ -86,6 +154,13 @@ def _unpack(blob: bytes):
     return header, blob[8 + hlen:]
 
 
+def _reject_retired(blob: bytes):
+    if blob[:4] in _RETIRED_MAGICS:
+        raise ValueError(
+            f"artifact format {blob[:4].decode()} is retired (it embedded "
+            f"a pickle / baked constants); re-export with this version")
+
+
 def export_sampler(diff, *, batch: int, n_iters: int,
                    only_last: bool = True, noise_factor: float = 1.0,
                    platforms=None) -> bytes:
@@ -105,11 +180,12 @@ def export_sampler(diff, *, batch: int, n_iters: int,
     """
     _check_exportable(diff)
     variables = diff.net.variables
-    vb = _var_blob(variables)
+    paths, vb = _var_blob(variables)
     prog = _export_program(diff, variables, batch=batch, n_iters=n_iters,
                            only_last=only_last, noise_factor=noise_factor,
                            platforms=platforms)
-    return _pack(_ARTIFACT_MAGIC, {"var_len": len(vb)}, vb, prog)
+    return _pack(_ARTIFACT_MAGIC, {"var_len": len(vb), "var_paths": paths},
+                 vb, prog)
 
 
 def load_sampler(blob: bytes, variables=None):
@@ -117,24 +193,32 @@ def load_sampler(blob: bytes, variables=None):
 
     The callable runs the embedded StableHLO through XLA on the current
     backend — no qiddm_tpu model code or checkpoint needed (the artifact
-    carries the variables; only unpickle artifacts you produced). Pass
-    ``variables`` to hot-swap retrained weights of the same
-    shapes/dtypes into the program. Wrap in ``jax.jit`` for repeated
-    serving so the executable is built once and cached.
+    carries the variables pickle-free). Pass ``variables`` to hot-swap
+    retrained weights of the same shapes/dtypes into the program.
+
+    The result is already jit-compiled with the weights as runtime
+    arguments; do NOT wrap it in ``jax.jit`` (an outer jit would bake the
+    weights back into the program as constants — see module docstring).
     """
+    _reject_retired(blob)
+    if is_bundle(blob):
+        raise ValueError("this is a bucketed bundle artifact; use "
+                         "load_sampler_bundle")
     if blob[:4] == _ARTIFACT_MAGIC:
         header, rest = _unpack(blob)
-        stored = pickle.loads(rest[:header["var_len"]])
-        call = jax.export.deserialize(
-            bytearray(rest[header["var_len"]:])).call
+        stored = _vars_from_blob(header["var_paths"],
+                                 rest[:header["var_len"]])
+        call = jax.jit(jax.export.deserialize(
+            bytearray(rest[header["var_len"]:])).call)
         v = stored if variables is None else variables
         v = jax.tree_util.tree_map(jnp.asarray, v)
         return lambda first_x: call(v, first_x)
     if variables is not None:
         raise ValueError("legacy constants-mode artifact: variables are "
                          "baked into the program and cannot be swapped")
-    # legacy raw jax.export blob (variables baked as constants)
-    return jax.export.deserialize(bytearray(blob)).call
+    # legacy raw jax.export blob (variables baked as constants — jitting
+    # it cannot re-fold anything that is not already folded)
+    return jax.jit(jax.export.deserialize(bytearray(blob)).call)
 
 
 # --- bucketed bundles (multi-batch-size serving) ---------------------------
@@ -161,56 +245,51 @@ def export_sampler_bundle(diff, *, batches, n_iters: int,
     if not batches or batches[0] < 1:
         raise ValueError(f"need positive batch sizes, got {batches!r}")
     variables = diff.net.variables
-    vb = _var_blob(variables)
+    paths, vb = _var_blob(variables)
     progs = [_export_program(diff, variables, batch=b, n_iters=n_iters,
                              only_last=True, noise_factor=noise_factor,
                              platforms=platforms)
              for b in batches]
     return _pack(_BUNDLE_MAGIC,
                  {"batches": batches, "var_len": len(vb),
+                  "var_paths": paths,
                   "lengths": [len(p) for p in progs]}, vb, *progs)
 
 
 def is_bundle(blob: bytes) -> bool:
-    return blob[:4] in (_BUNDLE_MAGIC, _BUNDLE_MAGIC_V1)
+    return blob[:4] == _BUNDLE_MAGIC
 
 
 def load_sampler_bundle(blob: bytes, variables=None):
     """Deserialize a bundle into a callable serving ANY ``(n,1,h,w)``.
 
     Picks the smallest bucket >= n (padding the tail rows); requests
-    larger than the biggest bucket run in chunks of it. Each bucket's
-    executable is jit-cached on first use. ``variables`` hot-swaps
+    larger than the biggest bucket run in chunks of it; n == 0 returns an
+    empty batch without touching a program. Each bucket's executable is
+    jit-cached with the weights as runtime arguments (never re-wrap in
+    ``jax.jit`` — see module docstring). ``variables`` hot-swaps
     retrained weights (same shapes/dtypes) into every bucket.
     """
+    _reject_retired(blob)
     if not is_bundle(blob):
         raise ValueError("not a sampler bundle (missing QSB magic); "
                          "use load_sampler for single-batch artifacts")
-    v1 = blob[:4] == _BUNDLE_MAGIC_V1
     header, rest = _unpack(blob)
     batches = header["batches"]
-    if v1:
-        if variables is not None:
-            raise ValueError("legacy constants-mode bundle: variables are "
-                             "baked into the programs")
-        off, fns = 0, {}
-        for b, ln in zip(batches, header["lengths"]):
-            fns[b] = jax.jit(jax.export.deserialize(
-                bytearray(rest[off:off + ln])).call)
-            off += ln
-    else:
-        stored = pickle.loads(rest[:header["var_len"]])
-        v = stored if variables is None else variables
-        v = jax.tree_util.tree_map(jnp.asarray, v)
-        off, fns = header["var_len"], {}
-        for b, ln in zip(batches, header["lengths"]):
-            call = jax.export.deserialize(
-                bytearray(rest[off:off + ln])).call
-            fns[b] = jax.jit(lambda first_x, _c=call: _c(v, first_x))
-            off += ln
+    stored = _vars_from_blob(header["var_paths"], rest[:header["var_len"]])
+    v = stored if variables is None else variables
+    v = jax.tree_util.tree_map(jnp.asarray, v)
+    off, fns = header["var_len"], {}
+    for b, ln in zip(batches, header["lengths"]):
+        call = jax.jit(jax.export.deserialize(
+            bytearray(rest[off:off + ln])).call)
+        fns[b] = lambda first_x, _c=call: _c(v, first_x)
+        off += ln
 
     def _run_bucket(x):
         n = x.shape[0]
+        if n == 0:
+            return jnp.zeros(x.shape, jnp.float32)
         bucket = next((b for b in batches if b >= n), None)
         if bucket is None:
             big = batches[-1]

@@ -125,12 +125,40 @@ def test_bundle_serves_any_request_size():
                                          only_last=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    # n == 0 serves an empty batch without touching a program
+    empty = np.asarray(serve(jax.numpy.zeros((0, 1, 8, 8))))
+    assert empty.shape == (0, 1, 8, 8) and empty.dtype == np.float32
+
     # single-batch artifacts are NOT bundles and the loaders cross-reject
     single = export_sampler(diff, batch=2, n_iters=2)
     assert not is_bundle(single)
     with pytest.raises(ValueError, match="bundle"):
         load_sampler_bundle(single)
-    assert load_sampler is not None  # loaders coexist
+    with pytest.raises(ValueError, match="bundle"):
+        load_sampler(blob)
+
+
+def test_artifacts_are_pickle_free():
+    """Loading an artifact must execute no embedded code: the variables
+    segment is raw npz + a JSON path table (np.load with
+    allow_pickle=False), and the retired pickle-bearing formats are
+    rejected outright."""
+    from qiddm_tpu import export as export_mod
+
+    diff = _diff(seed=2)
+    blob = export_sampler(diff, batch=2, n_iters=2)
+    header, rest = export_mod._unpack(blob)
+    # decodes under allow_pickle=False (raises ValueError on any pickle)
+    v = export_mod._vars_from_blob(header["var_paths"],
+                                   rest[:header["var_len"]])
+    flat_want = jax.tree_util.tree_leaves(diff.net.variables)
+    flat_got = jax.tree_util.tree_leaves(v)
+    assert len(flat_want) == len(flat_got)
+    for a, b in zip(flat_want, flat_got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for magic in (b"QSA2", b"QSB2", b"QSB1"):
+        with pytest.raises(ValueError, match="retired"):
+            load_sampler(magic + blob[4:])
 
 
 def test_sample_cli_bundle_roundtrip(tmp_path):

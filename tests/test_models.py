@@ -67,8 +67,12 @@ def test_model_forward_shape_and_name(ctor, args, save):
     (nn.QIDDM_L_B, (64, 4, 2, 2)),
 ])
 def test_model_gradients_flow_to_qweights(ctor, args):
-    net = ctor(*args)
-    x = _img()
+    _assert_qweight_grads_flow(ctor(*args), _img())
+
+
+def _assert_qweight_grads_flow(net, x):
+    """Shared body of the fast 5-model and the slow all-zoo gradient-flow
+    tests: d(loss)/d(qweights) exists, is finite, and is nonzero."""
 
     def loss(params):
         variables = {"params": params, **net.extra_variables}
@@ -293,19 +297,4 @@ def test_every_zoo_member_trains(ctor, args, _save):
     including the ones whose reference releases sever gradients
     (torch.tensor wraps at nn/qdense.py:278-281,1065,2409; this framework
     builds the intended behavior, COMPAT.md)."""
-    net = ctor(*args)
-    x = _img()
-
-    def loss(params):
-        variables = {"params": params, **net.extra_variables}
-        mutable = net.mutable_collections
-        out = net.module.apply(variables, x, train=True, mutable=mutable)
-        y = out[0] if mutable else out
-        return jnp.mean((y - 0.5) ** 2)
-
-    g = jax.grad(loss)(net.params)
-    leaves = {p: np.abs(np.asarray(v)).max()
-              for p, v in jax.tree_util.tree_leaves_with_path(g)}
-    qleaf = [v for p, v in leaves.items() if "qweights" in str(p)]
-    assert qleaf and all(np.isfinite(v) for v in qleaf)
-    assert max(qleaf) > 0, "quantum weights got zero gradient"
+    _assert_qweight_grads_flow(ctor(*args), _img())

@@ -38,7 +38,12 @@ def step(name):
 def _sub_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    # prepend the repo, keep whatever the caller's environment supplies
+    # (site hooks, alternate dependency locations)
+    extra = [str(REPO)] + [p for p in sys.path
+                           if p.endswith("_site") and os.path.isdir(p)]
+    prior = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = ":".join(extra + ([prior] if prior else []))
     return env
 
 

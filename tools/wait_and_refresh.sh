@@ -9,10 +9,14 @@ for i in $(seq 1 60); do
   p=$(timeout 120 python -c "import jax; print(jax.devices()[0].platform)" 2>/dev/null)
   if [ "$p" = "axon" ] || [ "$p" = "tpu" ]; then
     echo "TPU_UP ($p) — running refresh"
-    bash tools/refresh_tpu_results.sh
-    echo "REFRESH_DONE"
-    exit 0
+    if bash tools/refresh_tpu_results.sh; then
+      echo "REFRESH_DONE"
+      exit 0
+    fi
+    echo "REFRESH_FAILED"
+    exit 1
   fi
   sleep 420
 done
 echo "TPU_NEVER_CAME_UP"
+exit 1
