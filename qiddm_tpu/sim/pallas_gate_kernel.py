@@ -518,6 +518,29 @@ def sel_chain_pallas(states, rot_mats, wires: int, imprimitive: str = "cnot",
     return (out_r + 1j * out_i).T
 
 
+def gate_chain_planes(pr, pi, rot_mats, k: int, wires: int,
+                      interpret: bool = False):
+    """Plane-level re-uploading chain: (d, B) float32 phase planes in,
+    (d, B) float32 state planes out — the kernel's NATIVE layout.
+
+    The complex-array wrapper (:func:`gate_chain_pallas`) assembles
+    ``(B, d)`` complex states at the boundary; when the caller then splits
+    them straight back into real planes (readout is ``|psi|^2`` or a
+    PauliZ marginal), XLA materializes the assembly, the (B, d) <-> (d, B)
+    transposes, and their VJP twins — measured ~0.4 ms/block fwd+bwd at
+    d=1024, B=80, ~40% of the whole differN training step. The engine's
+    hot path (engine.reupload_block) therefore stays in planes end to
+    end via this entry point.
+    """
+    n_layers = rot_mats.shape[0]
+    # k static CZ sign planes (ranges cycle per block), shaped (k, d, 1)
+    ranges = sel_ranges(k, wires)
+    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
+                    for li in range(k)]).astype(np.float32)
+    g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
+    return _gate_chain(pr, pi, g8, jnp.asarray(sgn), k, wires, interpret)
+
+
 def gate_chain_pallas(phases, rot_mats, k: int, wires: int,
                       interpret: bool = False):
     """Run the full re-uploading chain gate-by-gate, fused.
@@ -527,18 +550,9 @@ def gate_chain_pallas(phases, rot_mats, k: int, wires: int,
     (layer = one SEL layer; CZ ring with the per-block cycling ranges is
     applied after each layer's rotations). Returns (B, d) complex states.
     """
-    n_layers = rot_mats.shape[0]
-    d = phases.shape[1]
-    B = phases.shape[0]
-    # k static CZ sign planes (ranges cycle per block), shaped (k, d, 1)
-    ranges = sel_ranges(k, wires)
-    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
-                    for li in range(k)]).astype(np.float32)
-    g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
     pr = jnp.real(phases).astype(jnp.float32).T  # (d, B)
     pi = jnp.imag(phases).astype(jnp.float32).T
-    out_r, out_i = _gate_chain(pr, pi, g8, jnp.asarray(sgn), k, wires,
-                               interpret)
+    out_r, out_i = gate_chain_planes(pr, pi, rot_mats, k, wires, interpret)
     return (out_r + 1j * out_i).T  # (B, d)
 
 
@@ -620,7 +634,12 @@ def _ry_bwd_kernel(k: int, w: int, n_layers: int,
         def unencode(args):
             sr, si, cr, ci, dcs = args
             # RYs on distinct wires commute; walk j high->low anyway so the
-            # cotangent at each gate's output is exact.
+            # cotangent at each gate's output is exact. Per-wire grads are
+            # collected as (1, B) rows and concatenated into one (2w, B)
+            # update — `.at[j].add` would lower to scatter-add, which
+            # Mosaic has no TPU rule for (static-slice concat is free).
+            dc_rows = [None] * w
+            ds_rows = [None] * w
             for j in range(w - 1, -1, -1):
                 c = cs_ref[j:j + 1, :]
                 s = cs_ref[w + j:w + j + 1, :]
@@ -628,13 +647,12 @@ def _ry_bwd_kernel(k: int, w: int, n_layers: int,
                 bit = 1 << (w - 1 - j)
                 is1 = _wire_mask(j, d, B, w)
                 o_r, o_i = _partner(sr, si, bit, is1)
-                dc = jnp.sum(cr * sr + ci * si, axis=0, keepdims=True)
+                dc_rows[j] = jnp.sum(cr * sr + ci * si, axis=0, keepdims=True)
                 psn = jnp.where(is1, 1.0, -1.0)
-                ds = jnp.sum(psn * (cr * o_r + ci * o_i),
-                             axis=0, keepdims=True)
-                dcs = dcs.at[j:j + 1, :].add(dc)
-                dcs = dcs.at[w + j:w + j + 1, :].add(ds)
+                ds_rows[j] = jnp.sum(psn * (cr * o_r + ci * o_i),
+                                     axis=0, keepdims=True)
                 cr, ci = _ry_apply(cr, ci, c, -s, j, d, B, w)
+            dcs = dcs + jnp.concatenate(dc_rows + ds_rows, axis=0)
             return sr, si, cr, ci, dcs
 
         return jax.lax.cond(l % k == 0, unencode, lambda a: a,
@@ -715,6 +733,19 @@ def _ry_chain_bwd(k, w, interpret, res, g):
 _ry_chain.defvjp(_ry_chain_fwd, _ry_chain_bwd)
 
 
+def ry_chain_planes(angles, rot_mats, k: int, wires: int,
+                    interpret: bool = False):
+    """Plane-level RY-encoded chain: (d, B) float32 state planes out (see
+    :func:`gate_chain_planes` for why the engine consumes planes)."""
+    ranges = sel_ranges(k, wires)
+    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
+                    for li in range(k)]).astype(np.float32)
+    g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
+    half = (0.5 * angles).astype(jnp.float32).T      # (w, B)
+    cs = jnp.concatenate([jnp.cos(half), jnp.sin(half)], axis=0)  # (2w, B)
+    return _ry_chain(cs, g8, jnp.asarray(sgn), k, wires, interpret)
+
+
 def ry_chain_pallas(angles, rot_mats, k: int, wires: int,
                     interpret: bool = False):
     """Fused RY-encoded re-uploading chain (QIDDM_PL_noise1 family).
@@ -727,12 +758,5 @@ def ry_chain_pallas(angles, rot_mats, k: int, wires: int,
     gradients; autodiff chains them through the cos/sin below back to the
     angles, i.e. through any down-projection).
     """
-    n_layers = rot_mats.shape[0]
-    ranges = sel_ranges(k, wires)
-    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
-                    for li in range(k)]).astype(np.float32)
-    g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
-    half = (0.5 * angles).astype(jnp.float32).T      # (w, B)
-    cs = jnp.concatenate([jnp.cos(half), jnp.sin(half)], axis=0)  # (2w, B)
-    out_r, out_i = _ry_chain(cs, g8, jnp.asarray(sgn), k, wires, interpret)
+    out_r, out_i = ry_chain_planes(angles, rot_mats, k, wires, interpret)
     return (out_r + 1j * out_i).T  # (B, d)

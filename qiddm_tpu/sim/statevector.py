@@ -99,6 +99,39 @@ def rz_phases(x, wires: int):
     return jnp.exp(1j * angles.astype(jnp.result_type(angles, jnp.complex64)))
 
 
+def rz_phase_planes(x, wires: int):
+    """:func:`rz_phases` in the Pallas kernels' native (d, B) float32 plane
+    layout: returns ``(cos, sin)`` of the accumulated phase angles.
+
+    Built transposed from the start — ``signs @ x.T`` lands directly on
+    (d, B) — so the gate-kernel hot path never materializes a (B, d)
+    complex array or its transpose (measured ~0.4 ms/block fwd+bwd of
+    boundary conversions at d=1024, B=80; see gate_chain_planes).
+    """
+    signs = jnp.asarray(z_sign_table(wires), dtype=jnp.float32)  # (d, w)
+    angles = -0.5 * jnp.matmul(signs, x.astype(jnp.float32).T,
+                               precision=_config.matmul_precision())
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def probs_from_planes(sr, si):
+    """|psi|^2 readout from (d, B) float32 state planes -> (B, d)."""
+    return (sr * sr + si * si).T
+
+
+def expval_z_from_planes(sr, si):
+    """PauliZ expectations from (d, B) float32 state planes -> (B, wires).
+
+    The sign-table contraction absorbs the layout change (no (B, d)
+    transpose materializes): ``signs.T @ p`` is (w, d) @ (d, B).
+    """
+    wires = int(math.log2(sr.shape[0]))
+    p = sr * sr + si * si
+    signs = jnp.asarray(z_sign_table(wires), dtype=p.dtype)  # (d, w)
+    return jnp.matmul(signs.T, p,
+                      precision=_config.matmul_precision()).T
+
+
 def rz_encode(states, x):
     """Apply per-wire RZ data encoding to a batch of states.
 

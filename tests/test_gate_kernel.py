@@ -174,3 +174,55 @@ def test_gate_kernel_k3():
 
     got = np.asarray(expval_z(st))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _collect_primitives(jaxpr, acc):
+    # pallas_call stores its kernel body as a raw Jaxpr (no .jaxpr attr);
+    # scan/cond store ClosedJaxprs — recurse into anything with .eqns.
+    def _is_jaxpr_like(x):
+        return hasattr(x, "eqns") or hasattr(x, "jaxpr")
+
+    for eqn in jaxpr.eqns:
+        acc.add(eqn.primitive.name)
+        for v in eqn.params.values():
+            for sub in jax.tree_util.tree_leaves(v, is_leaf=_is_jaxpr_like):
+                if hasattr(sub, "jaxpr"):
+                    sub = sub.jaxpr
+                if hasattr(sub, "eqns"):
+                    _collect_primitives(sub, acc)
+    return acc
+
+
+@pytest.mark.parametrize("entry", ["rz", "ry"])
+def test_kernel_bwd_has_no_scatter(entry):
+    """Mosaic has no TPU lowering for scatter/scatter-add; interpret-mode
+    CPU tests can't catch one sneaking into a kernel body (a `.at[].add`
+    regression shipped exactly this way — the RY backward kernel-faulted
+    on real TPU while every CPU test stayed green). Walk the whole traced
+    jaxpr, pallas kernel bodies included, and pin scatter out."""
+    from qiddm_tpu.sim.pallas_gate_kernel import (gate_chain_planes,
+                                                  ry_chain_planes)
+
+    wq, xe, B, w, L, k = _params()
+    mats = rot_matrix(wq.reshape(L * k, w, 3)[..., 0],
+                      wq.reshape(L * k, w, 3)[..., 1],
+                      wq.reshape(L * k, w, 3)[..., 2])
+
+    if entry == "rz":
+        ph = rz_phases(xe, w)
+        pr = jnp.real(ph).astype(jnp.float32).T
+        pi = jnp.imag(ph).astype(jnp.float32).T
+
+        def loss(m):
+            sr, si = gate_chain_planes(pr, pi, m, k, w, interpret=True)
+            return (sr * sr + si * si).sum()
+    else:
+
+        def loss(m):
+            sr, si = ry_chain_planes(xe, m, k, w, interpret=True)
+            return (sr * sr + si * si).sum()
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss))(mats)
+    prims = _collect_primitives(jaxpr.jaxpr, set())
+    bad = {p for p in prims if "scatter" in p}
+    assert not bad, f"scatter primitives reached a pallas program: {bad}"

@@ -76,8 +76,8 @@ def test_reupload_gate_kernel_routes_off_under_vmap(monkeypatch):
     def boom(*a, **kw):
         raise AssertionError("pallas kernel must not run under outer vmap")
 
-    monkeypatch.setattr(pgk, "gate_chain_pallas", boom)
-    monkeypatch.setattr(pgk, "ry_chain_pallas", boom)
+    monkeypatch.setattr(pgk, "gate_chain_planes", boom)
+    monkeypatch.setattr(pgk, "ry_chain_planes", boom)
 
     def one(xi, wi):
         return engine.reupload_block(xi, wi, encode="rz", imprimitive="cz")
