@@ -71,6 +71,10 @@ def main(argv=None):
         if args.export:
             raise SystemExit("--export needs --model/--ckpt; it cannot "
                              "re-export a loaded artifact")
+        if args.export_batches:
+            raise SystemExit("--export-batches selects the bucket ladder "
+                             "at export time; a loaded bundle already "
+                             "carries its ladder")
         if args.mesh_devices:
             raise SystemExit("--from-export artifacts pin their sharding "
                              "at export time; --mesh-devices does not apply")

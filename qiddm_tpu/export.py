@@ -43,6 +43,7 @@ from __future__ import annotations
 import io
 import json
 import struct
+from collections.abc import Mapping as _Mapping
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +77,23 @@ def _var_blob(variables):
     pickle: a JSON table of tagged key-paths + one npz of raw arrays.
     Snapshots to host numpy so later training of the live model cannot
     alter the artifact."""
+    # tuples flatten to SequenceKey exactly like lists, but the decoder
+    # rebuilds lists — the treedef would silently differ from the one the
+    # program was traced with and every call would fail. Reject up front.
+    def _no_tuples(node):
+        if isinstance(node, tuple):
+            raise ValueError(
+                "variables tree contains a tuple container; AOT artifacts "
+                "store str-keyed dicts and lists only (tuples cannot be "
+                "reconstructed distinguishably on load)")
+        if isinstance(node, _Mapping):  # dict / flax FrozenDict
+            for v in node.values():
+                _no_tuples(v)
+        elif isinstance(node, list):
+            for v in node:
+                _no_tuples(v)
+
+    _no_tuples(variables)
     leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
     paths, arrays = [], {}
     for i, (path, leaf) in enumerate(leaves):
@@ -102,7 +120,22 @@ def _vars_from_blob(paths, vb):
     if len(paths) == 1 and not paths[0]:  # a single bare array
         with np.load(io.BytesIO(vb), allow_pickle=False) as z:
             return z["a0"]
-    tree = {}
+    # every list slot must hold at least one leaf, so no legitimate
+    # sequence index can reach the leaf count — a crafted header index
+    # (e.g. 10**9) would otherwise grow the padding list until OOM
+    max_idx = len(paths)
+
+    def _seq_get(node, key, nxt):
+        if not isinstance(key, int) or not 0 <= key < max_idx:
+            raise ValueError(
+                f"corrupt artifact: sequence index {key!r} out of range")
+        while len(node) <= key:
+            node.append(None)
+        if node[key] is None:
+            node[key] = nxt
+        return node[key]
+
+    tree = [] if paths and paths[0] and paths[0][0][0] == "s" else {}
     with np.load(io.BytesIO(vb), allow_pickle=False) as z:
         for i, keys in enumerate(paths):
             node = tree
@@ -111,19 +144,23 @@ def _vars_from_blob(paths, vb):
                 if tag == "d":
                     node = node.setdefault(key, nxt)
                 else:
-                    while len(node) <= key:
-                        node.append(None)
-                    if node[key] is None:
-                        node[key] = nxt
-                    node = node[key]
+                    node = _seq_get(node, key, nxt)
             tag, key = keys[-1]
             if tag == "d":
                 node[key] = z[f"a{i}"]
             else:
-                while len(node) <= key:
-                    node.append(None)
+                _seq_get(node, key, None)
                 node[key] = z[f"a{i}"]
     return tree
+
+
+def _split_var_blob(header, rest):
+    """Validate the header's var_len against the payload and split."""
+    var_len = header.get("var_len")
+    if not isinstance(var_len, int) or not 0 <= var_len <= len(rest):
+        raise ValueError(f"corrupt artifact: var_len {var_len!r} outside "
+                         f"payload of {len(rest)} bytes")
+    return rest[:var_len], rest[var_len:]
 
 
 def _export_program(diff, variables, *, batch, n_iters, only_last,
@@ -149,7 +186,12 @@ def _pack(magic: bytes, header: dict, *blobs: bytes) -> bytes:
 
 
 def _unpack(blob: bytes):
+    if len(blob) < 8:
+        raise ValueError("corrupt artifact: truncated header")
     hlen = struct.unpack("<I", blob[4:8])[0]
+    if 8 + hlen > len(blob):
+        raise ValueError(f"corrupt artifact: header length {hlen} exceeds "
+                         f"blob of {len(blob)} bytes")
     header = json.loads(blob[8:8 + hlen].decode())
     return header, blob[8 + hlen:]
 
@@ -206,10 +248,9 @@ def load_sampler(blob: bytes, variables=None):
                          "load_sampler_bundle")
     if blob[:4] == _ARTIFACT_MAGIC:
         header, rest = _unpack(blob)
-        stored = _vars_from_blob(header["var_paths"],
-                                 rest[:header["var_len"]])
-        call = jax.jit(jax.export.deserialize(
-            bytearray(rest[header["var_len"]:])).call)
+        vb, prog = _split_var_blob(header, rest)
+        stored = _vars_from_blob(header["var_paths"], vb)
+        call = jax.jit(jax.export.deserialize(bytearray(prog)).call)
         v = stored if variables is None else variables
         v = jax.tree_util.tree_map(jnp.asarray, v)
         return lambda first_x: call(v, first_x)
@@ -276,20 +317,32 @@ def load_sampler_bundle(blob: bytes, variables=None):
                          "use load_sampler for single-batch artifacts")
     header, rest = _unpack(blob)
     batches = header["batches"]
-    stored = _vars_from_blob(header["var_paths"], rest[:header["var_len"]])
+    vb, progs = _split_var_blob(header, rest)
+    stored = _vars_from_blob(header["var_paths"], vb)
     v = stored if variables is None else variables
     v = jax.tree_util.tree_map(jnp.asarray, v)
-    off, fns = header["var_len"], {}
+    off, fns = 0, {}
+    x_tail = out_tail = out_dtype = None
     for b, ln in zip(batches, header["lengths"]):
-        call = jax.jit(jax.export.deserialize(
-            bytearray(rest[off:off + ln])).call)
-        fns[b] = lambda first_x, _c=call: _c(v, first_x)
+        exp = jax.export.deserialize(bytearray(progs[off:off + ln]))
+        if x_tail is None:
+            # first_x is fn's trailing positional arg -> last in_aval;
+            # recorded so the n == 0 fast path below keeps the same
+            # shape/dtype contract as every n > 0 request
+            x_tail = tuple(exp.in_avals[-1].shape[1:])
+            out_tail = tuple(exp.out_avals[0].shape[1:])
+            out_dtype = exp.out_avals[0].dtype
+        fns[b] = lambda first_x, _c=jax.jit(exp.call): _c(v, first_x)
         off += ln
 
     def _run_bucket(x):
         n = x.shape[0]
         if n == 0:
-            return jnp.zeros(x.shape, jnp.float32)
+            if tuple(x.shape[1:]) != x_tail:
+                raise ValueError(f"bundle expects inputs of shape "
+                                 f"(n, {', '.join(map(str, x_tail))}); "
+                                 f"got {tuple(x.shape)}")
+            return jnp.zeros((0,) + out_tail, out_dtype)
         bucket = next((b for b in batches if b >= n), None)
         if bucket is None:
             big = batches[-1]

@@ -518,6 +518,13 @@ def sel_chain_pallas(states, rot_mats, wires: int, imprimitive: str = "cnot",
     return (out_r + 1j * out_i).T
 
 
+def _sign_planes(k: int, wires: int):
+    """The k static CZ-ring sign planes (ranges cycle per block), (k, d, 1)."""
+    ranges = sel_ranges(k, wires)
+    return np.stack([cz_ring_signs(wires, ranges[li])[:, None]
+                     for li in range(k)]).astype(np.float32)
+
+
 def gate_chain_planes(pr, pi, rot_mats, k: int, wires: int,
                       interpret: bool = False):
     """Plane-level re-uploading chain: (d, B) float32 phase planes in,
@@ -532,13 +539,9 @@ def gate_chain_planes(pr, pi, rot_mats, k: int, wires: int,
     hot path (engine.reupload_block) therefore stays in planes end to
     end via this entry point.
     """
-    n_layers = rot_mats.shape[0]
-    # k static CZ sign planes (ranges cycle per block), shaped (k, d, 1)
-    ranges = sel_ranges(k, wires)
-    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
-                    for li in range(k)]).astype(np.float32)
     g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
-    return _gate_chain(pr, pi, g8, jnp.asarray(sgn), k, wires, interpret)
+    return _gate_chain(pr, pi, g8, jnp.asarray(_sign_planes(k, wires)),
+                       k, wires, interpret)
 
 
 def gate_chain_pallas(phases, rot_mats, k: int, wires: int,
@@ -737,13 +740,11 @@ def ry_chain_planes(angles, rot_mats, k: int, wires: int,
                     interpret: bool = False):
     """Plane-level RY-encoded chain: (d, B) float32 state planes out (see
     :func:`gate_chain_planes` for why the engine consumes planes)."""
-    ranges = sel_ranges(k, wires)
-    sgn = np.stack([cz_ring_signs(wires, ranges[li])[:, None]
-                    for li in range(k)]).astype(np.float32)
     g8 = _to_g8(rot_mats)  # (n_layers, wires, 8)
     half = (0.5 * angles).astype(jnp.float32).T      # (w, B)
     cs = jnp.concatenate([jnp.cos(half), jnp.sin(half)], axis=0)  # (2w, B)
-    return _ry_chain(cs, g8, jnp.asarray(sgn), k, wires, interpret)
+    return _ry_chain(cs, g8, jnp.asarray(_sign_planes(k, wires)),
+                     k, wires, interpret)
 
 
 def ry_chain_pallas(angles, rot_mats, k: int, wires: int,

@@ -177,3 +177,78 @@ def test_sample_cli_bundle_roundtrip(tmp_path):
                               "--out", str(tmp_path / "s"),
                               "--format", "npz"])
     assert np.asarray(served).shape == (7, 1, 8, 8)
+
+
+def test_var_blob_decoder_hardening():
+    """Decoder edge cases the round-trip tests can't reach: list-rooted
+    trees, tuple containers, crafted headers (sequence-index DoS,
+    out-of-range var_len), truncated blobs."""
+    import json
+    import struct
+
+    from qiddm_tpu import export as export_mod
+
+    # list-rooted variables round-trip (previously AttributeError'd)
+    v = [np.ones((2,), np.float32), {"a": np.zeros((3,), np.float32)}]
+    paths, vb = export_mod._var_blob(v)
+    out = export_mod._vars_from_blob(paths, vb)
+    assert (jax.tree_util.tree_structure(out)
+            == jax.tree_util.tree_structure(v))
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(a, b)
+
+    # tuples are rejected at export (the decoder rebuilds lists, so the
+    # treedef would silently differ from the traced one)
+    with pytest.raises(ValueError, match="tuple"):
+        export_mod._var_blob({"a": (np.ones(2), np.zeros(2))})
+    with pytest.raises(ValueError, match="tuple"):
+        export_mod._var_blob([(np.ones(2),)])
+
+    # crafted sequence index must not grow a padding list until OOM
+    with pytest.raises(ValueError, match="out of range"):
+        export_mod._vars_from_blob([[["s", 10**9]]], vb)
+    with pytest.raises(ValueError, match="out of range"):
+        export_mod._vars_from_blob([[["s", -3]]], vb)
+
+    # var_len outside the payload
+    diff = _diff(seed=3)
+    blob = export_sampler(diff, batch=2, n_iters=2)
+    header, rest = export_mod._unpack(blob)
+    for bad in (-1, len(rest) + 1, None):
+        h = dict(header, var_len=bad)
+        hb = json.dumps(h).encode()
+        crafted = (export_mod._ARTIFACT_MAGIC
+                   + struct.pack("<I", len(hb)) + hb + rest)
+        with pytest.raises(ValueError, match="var_len"):
+            load_sampler(crafted)
+
+    # truncated / header-length-past-end blobs
+    with pytest.raises(ValueError, match="truncated"):
+        export_mod._unpack(b"QSA3")
+    with pytest.raises(ValueError, match="header length"):
+        export_mod._unpack(b"QSA3" + struct.pack("<I", 10**6) + b"{}")
+
+
+def test_bundle_empty_batch_contract():
+    """n == 0 keeps the same shape contract as n > 0: wrong spatial tails
+    error instead of echoing back, and the output tail/dtype come from
+    the exported program."""
+    from qiddm_tpu.export import export_sampler_bundle, load_sampler_bundle
+
+    diff = _diff(seed=5)
+    serve = load_sampler_bundle(
+        export_sampler_bundle(diff, batches=[2], n_iters=2))
+    out = np.asarray(serve(jax.numpy.zeros((0, 1, 8, 8))))
+    assert out.shape == (0, 1, 8, 8) and out.dtype == np.float32
+    with pytest.raises(ValueError, match="expects inputs"):
+        serve(jax.numpy.zeros((0, 1, 16, 16)))
+
+
+def test_sample_cli_from_export_rejects_export_batches(tmp_path):
+    from qiddm_tpu.cli import sample as sample_cli
+
+    (tmp_path / "x.shlo").write_bytes(b"QSB3")
+    with pytest.raises(SystemExit, match="export-batches"):
+        sample_cli.main(["--from-export", str(tmp_path / "x.shlo"),
+                         "--img_size", "8", "--export-batches", "1,8"])

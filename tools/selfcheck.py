@@ -19,21 +19,6 @@ import time
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-FAILED = []
-
-
-def step(name):
-    def deco(fn):
-        t0 = time.time()
-        try:
-            fn()
-            print(f"PASS  {name} ({time.time() - t0:.1f}s)")
-        except Exception as e:  # noqa: BLE001 — report and continue
-            FAILED.append(name)
-            print(f"FAIL  {name}: {type(e).__name__}: {e}")
-        return fn
-    return deco
-
 
 def _sub_env():
     env = dict(os.environ)
@@ -47,7 +32,6 @@ def _sub_env():
     return env
 
 
-@step("library boundary (jitted qdense)")
 def _lib():
     import jax
     import numpy as np
@@ -61,18 +45,15 @@ def _lib():
     assert np.allclose(np.asarray(p).sum(1), 1.0, atol=1e-4)
 
 
-@step("graft entry compiles")
 def _entry():
     import jax
 
-    sys.path.insert(0, str(REPO))
     import __graft_entry__ as g
 
     fn, args = g.entry()
     assert jax.jit(fn).lower(*args).compile() is not None
 
 
-@step("multichip dryrun (8 virtual CPU devices)")
 def _multichip():
     env = _sub_env()
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
@@ -84,7 +65,6 @@ def _multichip():
     assert r.returncode == 0, r.stderr[-800:]
 
 
-@step("driver end-to-end (tiny mnist_exm)")
 def _driver():
     with tempfile.TemporaryDirectory() as td:
         r = subprocess.run(
@@ -100,7 +80,6 @@ def _driver():
         assert "Last SSIM values" in r.stdout
 
 
-@step("AOT export/serve round trip")
 def _export():
     import jax
     import numpy as np
@@ -119,7 +98,31 @@ def _export():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-if FAILED:
-    print(f"\n{len(FAILED)} step(s) FAILED: {', '.join(FAILED)}")
-    sys.exit(1)
-print("\nall selfcheck steps passed")
+STEPS = [
+    ("library boundary (jitted qdense)", _lib),
+    ("graft entry compiles", _entry),
+    ("multichip dryrun (8 virtual CPU devices)", _multichip),
+    ("driver end-to-end (tiny mnist_exm)", _driver),
+    ("AOT export/serve round trip", _export),
+]
+
+
+def main() -> int:
+    failed = []
+    for name, fn in STEPS:
+        t0 = time.time()
+        try:
+            fn()
+            print(f"PASS  {name} ({time.time() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failed.append(name)
+            print(f"FAIL  {name}: {type(e).__name__}: {e}")
+    if failed:
+        print(f"\n{len(failed)} step(s) FAILED: {', '.join(failed)}")
+        return 1
+    print("\nall selfcheck steps passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
