@@ -38,6 +38,17 @@ def initialize(coordinator_address: Optional[str] = None,
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None:
+        if num_processes is not None or process_id is not None:
+            # explicit topology without a coordinator is a
+            # misconfiguration, not "single host": silently proceeding
+            # single-process here leaves the OTHER correctly-configured
+            # hosts blocked inside jax.distributed.initialize waiting for
+            # this peer, a hang with no error pointing at the cause
+            raise ValueError(
+                f"num_processes={num_processes}/process_id={process_id} "
+                f"given but no coordinator address (arg or "
+                f"JAX_COORDINATOR_ADDRESS) — this host would silently "
+                f"run single-process while its peers wait for it")
         return False
     kwargs = {"coordinator_address": coordinator_address}
     if num_processes is not None or "JAX_NUM_PROCESSES" in os.environ:

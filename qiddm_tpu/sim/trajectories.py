@@ -151,13 +151,21 @@ def _mean_over_traj(out, n_traj: int):
     return out.reshape((n_traj, -1) + out.shape[1:]).mean(axis=0)
 
 
+def _unitary_route(wires: int) -> bool:
+    """Same crossover as the engine's strategy ladder (engine.py:446-447):
+    per-layer unitaries while they fit/pay off, gate-level beyond the
+    Pallas cap (and from 9 wires off-TPU, where the O(d^3) unitary
+    assembly is scalar work)."""
+    return (wires <= _config.pallas_max_wires()
+            and (jax.default_backend() == "tpu" or wires < 9))
+
+
 def _sel_chain(states, w, imprimitive: str, cdtype):
     """SEL application for the trajectory-expanded batch: shared per-layer
     unitaries (one MXU matmul per layer, amortized over all trajectories)
-    up to 10 wires, gate-level beyond (the engine's wide-route trade,
-    engine.py strategy ladder)."""
+    on the narrow route, gate-level on the wide one (:func:`_unitary_route`)."""
     wires = w.shape[1]
-    if wires <= 10:
+    if _unitary_route(wires):
         lus = sel_layer_unitaries(w[None],
                                   imprimitive=imprimitive)[0].astype(cdtype)
 
@@ -195,16 +203,37 @@ def reupload_block_trajectories(x_enc, block_weights, *, key, n_traj: int,
     phases = rz_phases(xT, wires) if encode in ("rz", "rz_halfpi") else None
     keys = jax.random.split(key, L + 1)
 
-    # Python loop over L (static, <= ~15 in every reference config): the
-    # per-layer unitaries differ so there is no scan-carry win, and the
-    # channel sampling needs a distinct fold of the key per layer.
-    for l in range(L):
+    # One lax.scan over L with the per-layer SEL operand and channel key
+    # as xs — O(1) traced-program size in depth, matching the engine's
+    # clean gate-level path (engine.py:463-467). Narrow route: all L*k
+    # layer unitaries batch-assembled up front (one sel_layer_unitaries
+    # call, MXU work); wide route: per-layer weights ride the scan and
+    # sel_apply_gates runs gate-level inside the body.
+    if _unitary_route(wires):
+        sel_xs = sel_layer_unitaries(
+            block_weights, imprimitive=imprimitive).astype(cdtype)
+
+        def apply_sel(s, u_l):  # u_l: (k, d, d)
+            def kbody(s, u):
+                return apply_unitary(s, u), None
+
+            return jax.lax.scan(kbody, s, u_l)[0]
+    else:
+        sel_xs = block_weights
+
+        def apply_sel(s, w_l):  # w_l: (k, wires, 3)
+            return sel_apply_gates(s, w_l, imprimitive=imprimitive)
+
+    def body(states, xs):
+        sel_l, key_l = xs
         states = (states * phases if phases is not None
                   else apply_ry_all(states, xT))
         if noise.placement == "encode":
             states = apply_channel_trajectory(states, noise.kind,
-                                              noise.strength, keys[l])
-        states = _sel_chain(states, block_weights[l], imprimitive, cdtype)
+                                              noise.strength, key_l)
+        return apply_sel(states, sel_l), None
+
+    states, _ = jax.lax.scan(body, states, (sel_xs, keys[:L]))
     if noise.placement == "end":
         states = apply_channel_trajectory(states, noise.kind,
                                           noise.strength, keys[L])

@@ -69,6 +69,25 @@ results["dp_param_checksum"] = float(
         for l in jax.tree_util.tree_leaves(
             jax.tree_util.tree_map(distributed.to_host, params))))
 
+# --- host-local data assembly + host replication ---------------------------
+# every host feeds only ITS slice; the assembled global array must equal
+# the full dataset, and a host-replicated pytree must round-trip exactly
+half = len(x_train) // 2
+local = np.asarray(x_train[pid * half:(pid + 1) * half])
+global_x = distributed.host_local_batch(local, mesh)
+assert global_x.shape[0] == len(x_train)
+assert not global_x.is_fully_addressable  # really process-spanning
+np.testing.assert_array_equal(distributed.to_host(global_x),
+                              np.asarray(x_train))
+results["host_local_batch_sum"] = float(jnp.sum(global_x))
+
+replicated = distributed.replicate_from_host(
+    {"w": np.arange(6.0, dtype=np.float32), "b": np.float32(2.5)}, mesh)
+np.testing.assert_array_equal(distributed.to_host(replicated["w"]),
+                              np.arange(6.0, dtype=np.float32))
+results["replicated_b"] = float(distributed.to_host(replicated["b"]))
+assert distributed.is_multiprocess()
+
 # --- 2-trial sweep over a process-spanning trial mesh ----------------------
 trial_mesh = distributed.global_mesh(("trial",))
 res = sweep_lr(make_net, CASE["sweep_lrs"], x_train, shape=CASE["shape"],

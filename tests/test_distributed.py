@@ -105,3 +105,26 @@ def test_sweep_over_process_spanning_mesh(worker_results):
     # result.json per trial
     assert len(worker_results["sweep_artifacts_written"]) == len(
         CASE["sweep_lrs"])
+
+
+def test_host_local_batch_and_replication(worker_results):
+    """host_local_batch assembled the global dataset from per-process
+    slices (verified by array equality inside the worker) and
+    replicate_from_host round-tripped a host pytree."""
+    x = make_x_train()
+    np.testing.assert_allclose(worker_results["host_local_batch_sum"],
+                               float(np.sum(np.asarray(x))), rtol=1e-5)
+    assert worker_results["replicated_b"] == 2.5
+
+
+def test_initialize_rejects_topology_without_coordinator(monkeypatch):
+    """Explicit num_processes/process_id with no coordinator address must
+    raise, not silently fall back to single-process (the other hosts
+    would block forever waiting for this peer)."""
+    from qiddm_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    with pytest.raises(ValueError, match="coordinator"):
+        distributed.initialize(num_processes=8, process_id=3)
+    # plain no-config stays a clean single-host False
+    assert distributed.initialize() is False
