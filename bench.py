@@ -283,18 +283,26 @@ def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
                              readout="expvalz")
         return jnp.mean((out - tgt) ** 2)
 
+    # host loop over ONE jitted step rather than a lax.scan over all of
+    # them: at 2^20 amplitudes XLA's compile of the scan-wrapped adjoint
+    # program is pathological (a 20-step scan never finished on-chip
+    # while the identical single-step program compiles in ~3 min and a
+    # 2-step scan is fine), and per-dispatch latency is noise against
+    # the >100 ms step walls here. Each call consumes the previous
+    # step's w, so the timed region is a genuine serial training chain.
     @jax.jit
-    def run(w):
-        def body(w, _):
-            loss, g = jax.value_and_grad(loss_fn)(w)
-            return w - 0.01 * g, loss
+    def step(w):
+        loss, g = jax.value_and_grad(loss_fn)(w)
+        return w - 0.01 * g, loss
 
-        return jax.lax.scan(body, w, None, length=steps)
-
-    _sync(run(w0)[1])  # compile + warmup
+    w, first_loss = step(w0)     # compile + warmup
+    _sync(first_loss)
     t0 = time.time()
-    _, losses = run(w0)
-    losses = _sync(losses)
+    losses = []
+    for _ in range(steps):
+        w, loss = step(w)
+        losses.append(loss)
+    losses = [float(_sync(l)) for l in losses]
     wall = time.time() - t0
     v = steps / wall
     return {
@@ -415,6 +423,16 @@ def main(argv=None):
         serving = lambda: bench_sampling(batch=4096, reps=3,
                                          tag="_batch4096_serving")
         wide20 = lambda: bench_wide_reupload(wires=20, steps=20)
+        out = pathlib.Path("results/benchmarks.json")
+        out.parent.mkdir(parents=True, exist_ok=True)
+
+        def write():  # after every row: a late-row crash keeps the rest
+            out.write_text(json.dumps({
+                "device": jax.devices()[0].platform,
+                "suite": suite,
+            }, indent=2))
+
+        write()
         for fn in (bench_qiddm_ll_flagship, bench_sampling, serving,
                    bench_aot_serving,
                    bench_noise_dm_sampling, bench_traj_noisy_sampling,
@@ -423,12 +441,7 @@ def main(argv=None):
             suite.append(dict(rec[0], detail=rec[1]))
             print(f"# {rec[0]['metric']}: {rec[0]['value']} "
                   f"{rec[0]['unit']} ({rec[1]})", file=sys.stderr)
-        out = pathlib.Path("results/benchmarks.json")
-        out.parent.mkdir(parents=True, exist_ok=True)
-        out.write_text(json.dumps({
-            "device": jax.devices()[0].platform,
-            "suite": suite,
-        }, indent=2))
+            write()
         print(f"# wrote {out}", file=sys.stderr)
 
 
