@@ -38,6 +38,39 @@ def _sync(x):
     return np.asarray(x)  # axon: host fetch is the only reliable sync
 
 
+def _sync_scalar(x):
+    """Force completion of x while fetching only 4 bytes: a reduction
+    that depends on x, materialized to host. Full-array _sync inside a
+    timed region measures the axon TUNNEL (12.8 MB/fetch at batch 4096,
+    observed 2x run-to-run jitter), not the chip."""
+    return float(x.sum())
+
+
+def _median_wall(fn, reps: int, trials: int = 3):
+    """Median-of-trials pipelined wall per rep: queue ``reps`` calls,
+    scalar-sync the LAST (the TPU executes enqueued programs in order, so
+    the last finishing implies all finished), divide by reps.
+
+    Measured on the axon tunnel: syncing EVERY rep adds a ~25-30 ms
+    host round trip per rep (a batch-100 sampler "measured" 29.7 ms/rep
+    when its device time is ~4 ms), while fetching the full output
+    array measures tunnel bandwidth with 2x run-to-run jitter
+    (batch-4096 serving swung 7.5k-16k img/s). Pipelining amortizes one
+    round trip over all reps — the steady-state serving shape — and the
+    median over trials absorbs the residual jitter."""
+    import statistics
+
+    walls = []
+    for _ in range(trials):
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        _sync_scalar(out)
+        walls.append((time.time() - t0) / reps)
+    return statistics.median(walls)
+
+
 def _load_mnist28_with_provenance():
     """Load the bench dataset and REPORT whether it is real data or the
     offline fallback — throughput is shape-identical either way, but the
@@ -155,7 +188,7 @@ def bench_qiddm_ll_flagship(epochs: int = 50):
         f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
 
-def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5,
+def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 30,
                    tag: str = ""):
     """Batched sampling throughput on the flagship (serving path,
     cli/sample.py): images fully denoised per second, tau_test=15.
@@ -173,11 +206,9 @@ def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5,
     key = jax.random.PRNGKey(7)
     first_x = jax.random.uniform(key, (batch, 1, 28, 28)) * 0.75 + 0.5
     _sync(diff.sample(first_x=first_x, n_iters=iters, only_last=True))
-    t0 = time.time()
-    for _ in range(reps):
-        out = diff.sample(first_x=first_x, n_iters=iters, only_last=True)
-    _sync(out)
-    wall = (time.time() - t0) / reps
+    wall = _median_wall(
+        lambda: diff.sample(first_x=first_x, n_iters=iters, only_last=True),
+        reps)
     v = batch / wall
     return {
         "metric": f"sample_images_per_sec_qiddm_ll_tau15{tag}",
@@ -187,7 +218,7 @@ def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 5,
     }, f"batch={batch}, {iters} denoise iters, wall/rep={wall * 1e3:.1f}ms"
 
 
-def bench_aot_serving(batch: int = 1024, iters: int = 15, reps: int = 5):
+def bench_aot_serving(batch: int = 1024, iters: int = 15, reps: int = 30):
     """Serving from an AOT export artifact (qiddm_tpu/export.py): the
     flagship sampler serialized to StableHLO, reloaded with no model
     code, jit-wrapped, timed — proves the deployment path carries the
@@ -206,11 +237,7 @@ def bench_aot_serving(batch: int = 1024, iters: int = 15, reps: int = 5):
     key = jax.random.PRNGKey(9)
     first_x = jax.random.uniform(key, (batch, 1, 28, 28)) * 0.75 + 0.5
     _sync(serve(first_x))
-    t0 = time.time()
-    for _ in range(reps):
-        out = serve(first_x)
-    _sync(out)
-    wall = (time.time() - t0) / reps
+    wall = _median_wall(lambda: serve(first_x), reps)
     v = batch / wall
     return {
         "metric": "aot_serving_images_per_sec_qiddm_ll_tau15",
@@ -240,11 +267,9 @@ def bench_noise_dm_sampling(batch: int = 10, iters: int = 15, reps: int = 3,
     first_x = jax.random.uniform(
         jax.random.PRNGKey(3), (batch, 1, size, size)) * 0.75 + 0.5
     _sync(diff.sample(first_x=first_x, n_iters=iters, only_last=True))
-    t0 = time.time()
-    for _ in range(reps):
-        out = diff.sample(first_x=first_x, n_iters=iters, only_last=True)
-    _sync(out)
-    wall = (time.time() - t0) / reps
+    wall = _median_wall(
+        lambda: diff.sample(first_x=first_x, n_iters=iters, only_last=True),
+        reps)
     v = batch / wall
     # the reference's noisy test path (default.mixed, per-sample Python
     # loops) is strictly slower than its clean sampling; 1.7 img/s is a
@@ -337,12 +362,9 @@ def bench_traj_noisy_sampling(wires: int = 12, batch: int = 10,
     rng = jax.random.PRNGKey(5)
     _sync(diff.sample(first_x=first_x, n_iters=iters, only_last=True,
                       traj_rng=rng))
-    t0 = time.time()
-    for _ in range(reps):
-        out = diff.sample(first_x=first_x, n_iters=iters, only_last=True,
-                          traj_rng=rng)
-    _sync(out)
-    wall = (time.time() - t0) / reps
+    wall = _median_wall(
+        lambda: diff.sample(first_x=first_x, n_iters=iters, only_last=True,
+                            traj_rng=rng), reps)
     v = batch / wall
     return {
         "metric": f"sample_images_per_sec_traj_noise_{wires}wires",
@@ -420,7 +442,7 @@ def main(argv=None):
         import jax
 
         suite = [dict(primary, roofline=util)]
-        serving = lambda: bench_sampling(batch=4096, reps=3,
+        serving = lambda: bench_sampling(batch=4096, reps=20,
                                          tag="_batch4096_serving")
         wide20 = lambda: bench_wide_reupload(wires=20, steps=20)
         out = pathlib.Path("results/benchmarks.json")

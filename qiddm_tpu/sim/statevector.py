@@ -57,6 +57,7 @@ def z_sign_table(wires: int) -> np.ndarray:
 
 
 def zero_state(batch: int, wires: int, dtype=jnp.complex64):
+    """|0...0> computational-basis states: (batch, 2**wires) complex."""
     state = jnp.zeros((batch, 2**wires), dtype=dtype)
     return state.at[:, 0].set(1.0)
 

@@ -36,11 +36,17 @@ def run(batch=4096, iters=15, reps=5):
         diff = Diffusion(net=net, prediction_goal="data", shape=(28, 28))
         y = diff.sample(first_x=first_x, n_iters=iters, only_last=True)
         imgs[prec] = np.asarray(y)
-        t0 = time.time()
-        for _ in range(reps):
-            y = diff.sample(first_x=first_x, n_iters=iters, only_last=True)
-        np.asarray(y)
-        wall = (time.time() - t0) / reps
+        # pipelined timing with a scalar sync (see bench._median_wall):
+        # full-array fetches measure the axon tunnel, not the chip
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(reps):
+                y = diff.sample(first_x=first_x, n_iters=iters,
+                                only_last=True)
+            float(y.sum())
+            walls.append((time.time() - t0) / reps)
+        wall = sorted(walls)[1]
         out[prec] = {"images_per_sec": round(batch / wall, 1),
                      "wall_ms": round(wall * 1e3, 1)}
     config.set_matmul_precision("highest")

@@ -7,8 +7,11 @@ Writes results/ry_kernel_ab.json.
 """
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
