@@ -182,6 +182,27 @@ def pallas_max_wires() -> int:
     return _PALLAS_MAX_WIRES
 
 
+# Separate cap for the TRAJECTORY backend's SEL chains
+# (sim/trajectories.py): trajectory batches (n_traj * batch states) put the
+# wide gate-level XLA route firmly in the bandwidth-bound regime (~24
+# full-state HBM passes per spectrum layer), where the batch-tiled fused
+# kernel (sel_chain_pallas_tiled) keeps the state VMEM-resident per tile.
+# The w=11-12 Mosaic compile that keeps the main-path default at 10 is a
+# one-time cost here (one k-depth kernel shape reused for the whole
+# sampler, persistent-cached via the deterministic lowering); beyond 12
+# Mosaic compile is pathological (same ceiling as _PALLAS_MAX_WIRES).
+_TRAJ_PALLAS_MAX_WIRES = 12
+
+
+def set_traj_pallas_max_wires(w: int) -> None:
+    global _TRAJ_PALLAS_MAX_WIRES
+    _TRAJ_PALLAS_MAX_WIRES = w
+
+
+def traj_pallas_max_wires() -> int:
+    return _TRAJ_PALLAS_MAX_WIRES
+
+
 def set_use_pallas(on: bool) -> None:
     global _USE_PALLAS
     _USE_PALLAS = on

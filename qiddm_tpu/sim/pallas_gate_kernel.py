@@ -518,6 +518,38 @@ def sel_chain_pallas(states, rot_mats, wires: int, imprimitive: str = "cnot",
     return (out_r + 1j * out_i).T
 
 
+def sel_chain_pallas_tiled(states, rot_mats, wires: int,
+                           imprimitive: str = "cnot", tile: int = 128,
+                           interpret: bool = False):
+    """:func:`sel_chain_pallas` for batches too large for one VMEM-resident
+    ``(d, B)`` block: pad the batch to a multiple of ``tile`` lanes and
+    ``lax.map`` the fused kernel over the row chunks (a scan, NOT a vmap —
+    jax's default pallas batching rule kernel-faults the TPU worker, see
+    engine._batch_traced).
+
+    The trajectory backend's wide-chain route (sim/trajectories.py): at
+    n_traj * batch states the whole batch cannot sit in VMEM at once, but
+    each ``(2**w, tile)`` chunk can, so every chunk pays one HBM read +
+    one write for the full k-layer chain instead of the gate-level XLA
+    route's ~2 passes per gate. Gradients flow through the scan into both
+    ``states`` and the (closed-over, chunk-shared) ``rot_mats``.
+    """
+    B = states.shape[0]
+    if B <= tile:
+        return sel_chain_pallas(states, rot_mats, wires,
+                                imprimitive=imprimitive, interpret=interpret)
+    n_chunks = -(-B // tile)
+    pad = n_chunks * tile - B
+    st = jnp.pad(states, ((0, pad), (0, 0))) if pad else states
+    st = st.reshape(n_chunks, tile, states.shape[1])
+    out = jax.lax.map(
+        lambda s: sel_chain_pallas(s, rot_mats, wires,
+                                   imprimitive=imprimitive,
+                                   interpret=interpret), st)
+    out = out.reshape(n_chunks * tile, states.shape[1])
+    return out[:B] if pad else out
+
+
 def _sign_planes(k: int, wires: int):
     """The k static CZ-ring sign planes (ranges cycle per block), (k, d, 1)."""
     ranges = sel_ranges(k, wires)

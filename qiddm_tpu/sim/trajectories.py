@@ -108,8 +108,23 @@ def apply_channel_trajectory(states, kind: str, strength, key):
     if kind in _PAULI_KINDS:
         p, mats = _pauli_mixture(kind, strength)
         logits = jnp.log(jnp.maximum(p, 1e-30))
-        mats = jnp.asarray(mats, cdtype)
         idx = jax.random.categorical(key, logits, shape=(wires, b))
+        if kind == "phase_damping":
+            # Both branches (I, Z) are diagonal, so the whole sampled
+            # Pauli string collapses to ONE per-sample sign plane:
+            # sign[b, i] = (-1)^{popcount(bits_i AND zdraws_b)} — a single
+            # fused elementwise pass instead of ``wires`` per-wire gate
+            # applications (each a full-state HBM pass). Draw layout and
+            # key use are IDENTICAL to the per-wire loop (same categorical
+            # call), and the arithmetic is exact (+-1 products), so this
+            # equals the gate loop bit for bit — pinned by
+            # tests/test_trajectories.py::test_phase_damping_fused_pass.
+            bits = jnp.asarray(bit_table(wires), jnp.float32)  # (d, w)
+            zcount = jnp.matmul(idx.T.astype(jnp.float32), bits.T,
+                                precision=_config.matmul_precision())
+            sign = 1.0 - 2.0 * jnp.mod(zcount, 2.0)           # (b, d)
+            return states * sign.astype(cdtype)
+        mats = jnp.asarray(mats, cdtype)
         for j in range(wires):
             states = apply_1q(states, mats[idx[j]], j, wires)
         return states
@@ -160,10 +175,28 @@ def _unitary_route(wires: int) -> bool:
             and (jax.default_backend() == "tpu" or wires < 9))
 
 
+def _kernel_route(wires: int, cdtype, *tracers) -> bool:
+    """Batch-tiled fused-kernel route for trajectory SEL chains: wires
+    just above the unitary route (11-12 by default) on TPU, where the
+    gate-level XLA chain is ~24 bandwidth-bound full-state HBM passes per
+    spectrum layer but a ``(2**w, tile)`` chunk still fits in VMEM
+    (pallas_gate_kernel.sel_chain_pallas_tiled). Measured on v5e at the
+    bench shape (w=12, 100 traj x 10 images): see DESIGN.md. Outer-vmap
+    guarded like every sibling kernel route (engine._batch_traced)."""
+    from .engine import _batch_traced
+
+    return (_config.use_pallas()
+            and jax.default_backend() == "tpu"
+            and cdtype == jnp.complex64
+            and wires <= _config.traj_pallas_max_wires()
+            and not _batch_traced(*tracers))
+
+
 def _sel_chain(states, w, imprimitive: str, cdtype):
     """SEL application for the trajectory-expanded batch: shared per-layer
     unitaries (one MXU matmul per layer, amortized over all trajectories)
-    on the narrow route, gate-level on the wide one (:func:`_unitary_route`)."""
+    on the narrow route, the batch-tiled fused kernel just above it
+    (:func:`_kernel_route`), gate-level beyond (:func:`_unitary_route`)."""
     wires = w.shape[1]
     if _unitary_route(wires):
         lus = sel_layer_unitaries(w[None],
@@ -174,6 +207,13 @@ def _sel_chain(states, w, imprimitive: str, cdtype):
 
         states, _ = jax.lax.scan(body, states, lus)
         return states
+    if _kernel_route(wires, cdtype, states, w):
+        from .gates import rot_matrix
+        from .pallas_gate_kernel import sel_chain_pallas_tiled
+
+        mats = rot_matrix(w[..., 0], w[..., 1], w[..., 2])
+        return sel_chain_pallas_tiled(states, mats, wires,
+                                      imprimitive=imprimitive).astype(cdtype)
     return sel_apply_gates(states, w, imprimitive=imprimitive)
 
 
@@ -218,6 +258,18 @@ def reupload_block_trajectories(x_enc, block_weights, *, key, n_traj: int,
                 return apply_unitary(s, u), None
 
             return jax.lax.scan(kbody, s, u_l)[0]
+    elif _kernel_route(wires, cdtype, states, block_weights, x_enc):
+        from .gates import rot_matrix
+        from .pallas_gate_kernel import sel_chain_pallas_tiled
+
+        sel_xs = block_weights
+
+        def apply_sel(s, w_l):  # w_l: (k, wires, 3)
+            # ring ranges restart per spectrum layer (engine.py), which is
+            # exactly the kernel's own per-call cycle start
+            mats = rot_matrix(w_l[..., 0], w_l[..., 1], w_l[..., 2])
+            return sel_chain_pallas_tiled(
+                s, mats, wires, imprimitive=imprimitive).astype(cdtype)
     else:
         sel_xs = block_weights
 

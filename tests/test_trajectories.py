@@ -343,3 +343,47 @@ def test_dense_trajectory_missing_key_raises():
     with pytest.raises(ValueError, match="traj_key"):
         eng.qdense_circuit(xa, wq, wires=3, noise=NoiseModel(
             "amplitude_damping", 0.1, "end"), n_traj=8, traj_key=None)
+
+
+def test_phase_damping_fused_pass_equals_gate_loop():
+    """The single-sign-plane phase-damping pass is BIT-IDENTICAL to the
+    per-wire sampled-Pauli gate loop it replaced: same categorical draws
+    from the same key, exact +-1 arithmetic."""
+    from qiddm_tpu.sim.statevector import apply_1q
+    from qiddm_tpu.sim.trajectories import _pauli_mixture
+
+    b, w, strength = 6, 5, 0.3
+    st = RNG.normal(size=(b, 2**w)) + 1j * RNG.normal(size=(b, 2**w))
+    st = jnp.asarray(st / np.linalg.norm(st, axis=1, keepdims=True),
+                     jnp.complex64)
+    key = jax.random.PRNGKey(123)
+
+    got = traj.apply_channel_trajectory(st, "phase_damping", strength, key)
+
+    # the pre-fusion reference implementation, same draw layout
+    p, mats = _pauli_mixture("phase_damping", strength)
+    idx = jax.random.categorical(
+        key, jnp.log(jnp.maximum(p, 1e-30)), shape=(w, b))
+    want = st
+    for j in range(w):
+        want = apply_1q(want, jnp.asarray(mats, jnp.complex64)[idx[j]], j, w)
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_traj_kernel_route_guards():
+    """The tiled-kernel SEL route engages only on TPU within the traj
+    cap, never under an outer vmap, and is off on CPU (where these tests
+    run) — the routing helper itself is checked directly."""
+    from qiddm_tpu import config
+    from qiddm_tpu.sim.trajectories import _kernel_route
+
+    st = jnp.zeros((4, 2**11), jnp.complex64)
+    wq = jnp.zeros((2, 11, 3), jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    assert _kernel_route(11, jnp.complex64, st, wq) == on_tpu
+    # above the trajectory cap: never
+    assert not _kernel_route(config.traj_pallas_max_wires() + 1,
+                             jnp.complex64, st, wq)
+    # wrong dtype: never
+    assert not _kernel_route(11, jnp.complex128, st, wq)
