@@ -518,6 +518,93 @@ def sel_chain_pallas(states, rot_mats, wires: int, imprimitive: str = "cnot",
     return (out_r + 1j * out_i).T
 
 
+def _amp_damp_kernel(w: int, sr_ref, si_ref, u_ref, g_ref, or_ref, oi_ref):
+    """Whole amplitude-damping trajectory channel pass (all ``w`` wires,
+    sequential conditional branch sampling) with the state VMEM-resident:
+    one HBM read + one write instead of the XLA loop's ~2 full-state
+    passes per wire (sim/trajectories.py::_amp_damp_xla, the twin whose
+    semantics this kernel mirrors).
+
+    Per wire j: the norm-weighted branch probability p1 = g * P(bit_j=1)
+    is a masked plane reduction; the presampled uniform row u[j] picks the
+    branch per LANE (sample); both Kraus branches are diagonal-or-shift,
+    so the update is a lane-row-coefficient blend (no 2x2 contraction):
+    bit0 rows become pick1 ? sqrt(g)/sqrt(p1) * partner : val/sqrt(1-p1),
+    bit1 rows become pick1 ? 0 : sqrt(1-g)/sqrt(1-p1) * val.
+    """
+    d, B = sr_ref.shape
+    g = g_ref[0]
+    sqg = jnp.sqrt(jnp.maximum(g, 0.0))
+    sq1g = jnp.sqrt(jnp.maximum(1.0 - g, 0.0))
+    sr, si = sr_ref[:], si_ref[:]
+    for j in range(w):
+        bit = 1 << (w - 1 - j)
+        is1 = _wire_mask(j, d, B, w)
+        prob1 = jnp.sum(jnp.where(is1, sr * sr + si * si, 0.0),
+                        axis=0, keepdims=True)            # (1, B)
+        p1 = g * prob1
+        pick1 = u_ref[j:j + 1, :] < p1                    # (1, B)
+        # branch gates renormalized K_i / sqrt(p_i), clamps as in the twin
+        c1 = sqg * jax.lax.rsqrt(jnp.maximum(p1, 1e-30))
+        c0 = jax.lax.rsqrt(jnp.maximum(1.0 - p1, 1e-30))
+        c0g = c0 * sq1g
+        if bit >= 8:
+            left = 2**j
+            right = d // (2 * left)
+            vr = sr.reshape(left, 2, right, B)
+            vi = si.reshape(left, 2, right, B)
+            s0r, s1r = vr[:, 0], vr[:, 1]
+            s0i, s1i = vi[:, 0], vi[:, 1]
+            pk = pick1.reshape(1, 1, B)
+            a1 = c1.reshape(1, 1, B)
+            a0 = c0.reshape(1, 1, B)
+            a0g = c0g.reshape(1, 1, B)
+            n0r = jnp.where(pk, a1 * s1r, a0 * s0r)
+            n0i = jnp.where(pk, a1 * s1i, a0 * s0i)
+            n1r = jnp.where(pk, 0.0, a0g * s1r)
+            n1i = jnp.where(pk, 0.0, a0g * s1i)
+            sr = jnp.stack([n0r, n1r], axis=1).reshape(d, B)
+            si = jnp.stack([n0i, n1i], axis=1).reshape(d, B)
+        else:
+            o_r, o_i = _partner(sr, si, bit, is1)
+            n_r0 = jnp.where(pick1, c1 * o_r, c0 * sr)
+            n_i0 = jnp.where(pick1, c1 * o_i, c0 * si)
+            n_r1 = jnp.where(pick1, 0.0, c0g * sr)
+            n_i1 = jnp.where(pick1, 0.0, c0g * si)
+            sr = jnp.where(is1, n_r1, n_r0)
+            si = jnp.where(is1, n_i1, n_i0)
+    or_ref[:] = sr
+    oi_ref[:] = si
+
+
+def amp_damp_call_planes(sr, si, u, g, w: int, interpret: bool = False):
+    """Raw plane-level kernel call: sr/si (d, B) f32, u (w, B) f32
+    presampled uniforms, g (1,) f32 strength (traced OK). Returns (d, B)
+    out planes. Chunking/custom-VJP live in the trajectory wrapper
+    (sim/trajectories.py::_amp_damp_fused)."""
+    d, B = sr.shape
+    kern = functools.partial(_amp_damp_kernel, w)
+    return pl.pallas_call(
+        kern,
+        compiler_params=_SEL_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+            jax.ShapeDtypeStruct((d, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sr, si, u, g)
+
+
 def sel_chain_pallas_tiled(states, rot_mats, wires: int,
                            imprimitive: str = "cnot", tile: int = 128,
                            interpret: bool = False):

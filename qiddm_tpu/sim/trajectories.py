@@ -44,6 +44,7 @@ the estimator is unbiased with per-entry std ~ 1/sqrt(n_traj)
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -129,23 +130,95 @@ def apply_channel_trajectory(states, kind: str, strength, key):
             states = apply_1q(states, mats[idx[j]], j, wires)
         return states
     if kind == "amplitude_damping":
-        from . import channels as ch
-
-        g = strength
         u = jax.random.uniform(key, (wires, b))
-        k0, k1 = (jnp.asarray(k, cdtype)
-                  for k in ch.amplitude_damping(g))
-        for j in range(wires):
-            p1 = g * wire_one_prob(states, j)                  # (b,)
-            pick1 = u[j] < p1
-            # renormalize inside the branch gate: K_i / sqrt(p_i)
-            inv0 = jax.lax.rsqrt(jnp.maximum(1.0 - p1, 1e-30))
-            inv1 = jax.lax.rsqrt(jnp.maximum(p1, 1e-30))
-            scale = jnp.where(pick1, inv1, inv0).astype(cdtype)
-            gate = jnp.where(pick1[:, None, None], k1[None], k0[None])
-            states = apply_1q(states, gate * scale[:, None, None], j, wires)
-        return states
+        if _kernel_route(wires, cdtype, states, u, strength):
+            return _amp_damp_fused(states, u, strength, 128, False)
+        return _amp_damp_xla(states, u, strength)
     raise ValueError(f"no trajectory unraveling for channel {kind!r}")
+
+
+def _amp_damp_xla(states, u, strength):
+    """Sequential norm-weighted amplitude-damping branch sampling, pure
+    XLA: p1 for wire j must see the state after wires 0..j-1, so the loop
+    cannot be parallelized across wires. ``u``: (wires, batch) presampled
+    uniforms (shared with the fused kernel route so both draw identically
+    from one key). Also the semantic twin the fused kernel's backward
+    re-runs under jax.vjp (:func:`_amp_damp_fused`)."""
+    from . import channels as ch
+
+    wires = int(math.log2(states.shape[-1]))
+    cdtype = states.dtype
+    g = strength
+    k0, k1 = (jnp.asarray(k, cdtype)
+              for k in ch.amplitude_damping(g))
+    for j in range(wires):
+        p1 = g * wire_one_prob(states, j)                  # (b,)
+        pick1 = u[j] < p1
+        # renormalize inside the branch gate: K_i / sqrt(p_i)
+        inv0 = jax.lax.rsqrt(jnp.maximum(1.0 - p1, 1e-30))
+        inv1 = jax.lax.rsqrt(jnp.maximum(p1, 1e-30))
+        scale = jnp.where(pick1, inv1, inv0).astype(cdtype)
+        gate = jnp.where(pick1[:, None, None], k1[None], k0[None])
+        states = apply_1q(states, gate * scale[:, None, None], j, wires)
+    return states
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _amp_damp_fused(states, u, strength, tile, interpret):
+    """Fused-kernel amplitude-damping channel pass (TPU route): the whole
+    sequential per-wire marginal+branch loop runs with each (2**w, tile)
+    state chunk VMEM-resident (pallas_gate_kernel._amp_damp_kernel) — one
+    HBM read+write per chunk instead of ~2 full-state passes per wire.
+
+    Differentiation: the backward re-runs the XLA twin under jax.vjp with
+    the SAME uniforms (branch choices are data-dependent, so fwd/bwd
+    could disagree only on measure-zero u == p1 ulp edges). Trajectory
+    TRAINING therefore pays the old XLA cost on the backward only;
+    sampling (the hot path) never differentiates."""
+    B, d = states.shape
+    w = int(math.log2(d))
+    sr = jnp.real(states).astype(jnp.float32).T            # (d, B)
+    si = jnp.imag(states).astype(jnp.float32).T
+    ga = jnp.reshape(jnp.asarray(strength, jnp.float32), (1,))
+    uf = u.astype(jnp.float32)                             # (w, B)
+    from .pallas_gate_kernel import amp_damp_call_planes
+
+    if B <= tile:
+        outr, outi = amp_damp_call_planes(sr, si, uf, ga, w,
+                                          interpret=interpret)
+    else:
+        n_chunks = -(-B // tile)
+        pad = n_chunks * tile - B
+        if pad:
+            sr = jnp.pad(sr, ((0, 0), (0, pad)))
+            si = jnp.pad(si, ((0, 0), (0, pad)))
+            # u=1 on padded lanes: p1=0 there, branch 0, no NaNs
+            uf = jnp.pad(uf, ((0, 0), (0, pad)), constant_values=1.0)
+        srn = jnp.moveaxis(sr.reshape(d, n_chunks, tile), 1, 0)
+        sin = jnp.moveaxis(si.reshape(d, n_chunks, tile), 1, 0)
+        un = jnp.moveaxis(uf.reshape(w, n_chunks, tile), 1, 0)
+        outr, outi = jax.lax.map(
+            lambda t: amp_damp_call_planes(t[0], t[1], t[2], ga, w,
+                                           interpret=interpret),
+            (srn, sin, un))
+        outr = jnp.moveaxis(outr, 0, 1).reshape(d, n_chunks * tile)[:, :B]
+        outi = jnp.moveaxis(outi, 0, 1).reshape(d, n_chunks * tile)[:, :B]
+    return (outr + 1j * outi).T.astype(states.dtype)
+
+
+def _amp_damp_fused_fwd(states, u, strength, tile, interpret):
+    return (_amp_damp_fused(states, u, strength, tile, interpret),
+            (states, u, strength))
+
+
+def _amp_damp_fused_bwd(tile, interpret, res, ct):
+    states, u, strength = res
+    _, vjp = jax.vjp(lambda s, g: _amp_damp_xla(s, u, g), states, strength)
+    ds, dg = vjp(ct.astype(states.dtype))
+    return ds, jnp.zeros_like(u), dg
+
+
+_amp_damp_fused.defvjp(_amp_damp_fused_fwd, _amp_damp_fused_bwd)
 
 
 def _require_key(key):
