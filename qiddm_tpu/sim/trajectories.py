@@ -89,12 +89,12 @@ def _pauli_mixture(kind: str, strength):
     return p, mats
 
 
-def wire_one_prob(states, wire: int):
+def wire_one_prob(states, wire: int, precision=None):
     """P(wire = 1) per state: (batch,) real."""
     wires = int(math.log2(states.shape[-1]))
     bits = jnp.asarray(bit_table(wires)[:, wire], jnp.real(states).dtype)
     return jnp.matmul(probs(states), bits,
-                      precision=_config.matmul_precision())
+                      precision=precision or _config.matmul_precision())
 
 
 def apply_channel_trajectory(states, kind: str, strength, key):
@@ -131,19 +131,26 @@ def apply_channel_trajectory(states, kind: str, strength, key):
         return states
     if kind == "amplitude_damping":
         u = jax.random.uniform(key, (wires, b))
-        if _kernel_route(wires, cdtype, states, u, strength):
+        # lower bound 8: below it the per-wire XLA loop is already cheap
+        # and the kernel's (2**w, tile) planes would have d < 8 sublanes —
+        # sub-tile Mosaic layouts no hardware test exercises
+        if wires >= 8 and _kernel_route(wires, cdtype, states, u, strength):
             return _amp_damp_fused(states, u, strength, 128, False)
         return _amp_damp_xla(states, u, strength)
     raise ValueError(f"no trajectory unraveling for channel {kind!r}")
 
 
-def _amp_damp_xla(states, u, strength):
+def _amp_damp_xla(states, u, strength, p1_precision=None):
     """Sequential norm-weighted amplitude-damping branch sampling, pure
     XLA: p1 for wire j must see the state after wires 0..j-1, so the loop
     cannot be parallelized across wires. ``u``: (wires, batch) presampled
     uniforms (shared with the fused kernel route so both draw identically
     from one key). Also the semantic twin the fused kernel's backward
-    re-runs under jax.vjp (:func:`_amp_damp_fused`)."""
+    re-runs under jax.vjp (:func:`_amp_damp_fused`) — that replay passes
+    ``p1_precision="highest"`` so its branch picks (u < p1) match the
+    kernel's direct f32 plane sums even if the user lowered the global
+    matmul precision (a ~1e-3 p1 drift would make the backward follow a
+    DIFFERENT trajectory realization than the forward took)."""
     from . import channels as ch
 
     wires = int(math.log2(states.shape[-1]))
@@ -152,7 +159,7 @@ def _amp_damp_xla(states, u, strength):
     k0, k1 = (jnp.asarray(k, cdtype)
               for k in ch.amplitude_damping(g))
     for j in range(wires):
-        p1 = g * wire_one_prob(states, j)                  # (b,)
+        p1 = g * wire_one_prob(states, j, p1_precision)    # (b,)
         pick1 = u[j] < p1
         # renormalize inside the branch gate: K_i / sqrt(p_i)
         inv0 = jax.lax.rsqrt(jnp.maximum(1.0 - p1, 1e-30))
@@ -213,7 +220,9 @@ def _amp_damp_fused_fwd(states, u, strength, tile, interpret):
 
 def _amp_damp_fused_bwd(tile, interpret, res, ct):
     states, u, strength = res
-    _, vjp = jax.vjp(lambda s, g: _amp_damp_xla(s, u, g), states, strength)
+    _, vjp = jax.vjp(
+        lambda s, g: _amp_damp_xla(s, u, g, p1_precision="highest"),
+        states, strength)
     ds, dg = vjp(ct.astype(states.dtype))
     return ds, jnp.zeros_like(u), dg
 

@@ -374,16 +374,66 @@ def test_phase_damping_fused_pass_equals_gate_loop():
 def test_traj_kernel_route_guards():
     """The tiled-kernel SEL route engages only on TPU within the traj
     cap, never under an outer vmap, and is off on CPU (where these tests
-    run) — the routing helper itself is checked directly."""
+    run) — the routing helper itself is checked directly. use_pallas is
+    pinned True for the duration: the route also reads that mutable
+    global, and an earlier test flipping it would otherwise make these
+    assertions order-dependent."""
     from qiddm_tpu import config
     from qiddm_tpu.sim.trajectories import _kernel_route
 
     st = jnp.zeros((4, 2**11), jnp.complex64)
     wq = jnp.zeros((2, 11, 3), jnp.float32)
     on_tpu = jax.default_backend() == "tpu"
-    assert _kernel_route(11, jnp.complex64, st, wq) == on_tpu
-    # above the trajectory cap: never
-    assert not _kernel_route(config.traj_pallas_max_wires() + 1,
-                             jnp.complex64, st, wq)
-    # wrong dtype: never
-    assert not _kernel_route(11, jnp.complex128, st, wq)
+    prior = config.use_pallas()
+    config.set_use_pallas(True)
+    try:
+        assert _kernel_route(11, jnp.complex64, st, wq) == on_tpu
+        # above the trajectory cap: never
+        assert not _kernel_route(config.traj_pallas_max_wires() + 1,
+                                 jnp.complex64, st, wq)
+        # wrong dtype: never
+        assert not _kernel_route(11, jnp.complex128, st, wq)
+        # pallas disabled: never
+        config.set_use_pallas(False)
+        assert not _kernel_route(11, jnp.complex64, st, wq)
+    finally:
+        config.set_use_pallas(prior)
+
+
+@pytest.mark.parametrize("w,b", [(4, 3), (8, 4), (10, 130)])
+def test_amp_damp_fused_interpret_matches_xla(w, b):
+    """Interpret-mode parity of the fused amplitude-damping kernel vs its
+    XLA twin (same presampled uniforms -> identical branch picks), incl.
+    a batch above the tile size so the pad/chunk path is exercised, plus
+    gradient agreement through the custom VJP (ADVICE r3 #1)."""
+    from qiddm_tpu.sim.trajectories import _amp_damp_fused, _amp_damp_xla
+
+    tile = 64
+    rng = np.random.default_rng(20 + w)
+    st = rng.normal(size=(b, 2**w)) + 1j * rng.normal(size=(b, 2**w))
+    st = jnp.asarray(st / np.linalg.norm(st, axis=1, keepdims=True),
+                     jnp.complex64)
+    u = jnp.asarray(rng.uniform(size=(w, b)), jnp.float32)
+    g = jnp.float32(0.3)
+
+    want = _amp_damp_xla(st, u, g)
+    got = _amp_damp_fused(st, u, g, tile, True)  # interpret=True
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6)
+
+    # gradients: the fused custom VJP replays the XLA twin with the same
+    # uniforms — grads w.r.t. the input state and the strength must match
+    wgt = jnp.arange(2**w) / 2**w  # O(1) weights: fp32 rounding stays tiny
+
+    def loss_fused(s, gg):
+        return jnp.sum(jnp.abs(_amp_damp_fused(s, u, gg, tile, True)) ** 2
+                       * wgt)
+
+    def loss_xla(s, gg):
+        return jnp.sum(jnp.abs(_amp_damp_xla(s, u, gg)) ** 2 * wgt)
+
+    gf_s, gf_g = jax.grad(loss_fused, argnums=(0, 1))(st, g)
+    gx_s, gx_g = jax.grad(loss_xla, argnums=(0, 1))(st, g)
+    np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gx_s),
+                               atol=5e-6)
+    np.testing.assert_allclose(float(gf_g), float(gx_g), rtol=2e-4)

@@ -2,11 +2,16 @@
 
   JAX_PLATFORMS=cpu python tools/selfcheck.py        # CPU (always works)
   python tools/selfcheck.py                          # current backend
+  python tools/selfcheck.py --fast                   # skip the pytest suite
 
 Runs, in order: library boundary (jitted qdense program), graft entry
 compile, 8-virtual-device multichip dryrun (subprocess), a tiny
-end-to-end driver run (subprocess), and an AOT export/serve round trip.
-Prints one PASS/FAIL line per step and exits nonzero on any failure.
+end-to-end driver run (subprocess), an AOT export/serve round trip, and —
+unless --fast — the FULL pytest suite including the slow marker
+(``-m "slow or not slow"``: the 2-process jax.distributed cluster test,
+the emnist.zip reference-checkpoint import e2e, the 28-class
+gradient-flow checks). Prints one PASS/FAIL line per step and exits
+nonzero on any failure.
 """
 
 import os
@@ -98,18 +103,38 @@ def _export():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def _pytest_full():
+    """The full suite INCLUDING slow tests — the flagship claims
+    (2-process jax.distributed, emnist.zip import e2e, 28-class gradient
+    flow) live behind the slow marker and must stay green every round
+    (VERDICT r3 weak #3)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q",
+         "-m", "slow or not slow", "-p", "no:cacheprovider"],
+        cwd=REPO, env=_sub_env(), capture_output=True, text=True,
+        timeout=3600)
+    tail = (r.stdout.strip().splitlines() or [""])[-1]
+    assert r.returncode == 0, (r.stdout[-1200:] + r.stderr[-400:])
+    print(f"      {tail}")
+
+
 STEPS = [
     ("library boundary (jitted qdense)", _lib),
     ("graft entry compiles", _entry),
     ("multichip dryrun (8 virtual CPU devices)", _multichip),
     ("driver end-to-end (tiny mnist_exm)", _driver),
     ("AOT export/serve round trip", _export),
+    ("pytest full suite incl. slow", _pytest_full),
 ]
 
 
 def main() -> int:
+    fast = "--fast" in sys.argv[1:]
     failed = []
     for name, fn in STEPS:
+        if fast and fn is _pytest_full:
+            print(f"SKIP  {name} (--fast)")
+            continue
         t0 = time.time()
         try:
             fn()
