@@ -83,11 +83,37 @@ def _host_cpu_fingerprint() -> str:
     return hashlib.sha1(desc.encode()).hexdigest()[:8]
 
 
+def _cache_platforms_ok(platforms: str | None) -> bool:
+    """Whether the DEFAULT persistent cache should engage for this
+    platform selection.
+
+    XLA:CPU executables serialize as host-AOT machine code whose
+    target-machine string carries compiler pseudo-features (e.g.
+    ``+prefer-no-scatter``) that the load-time host-feature probe never
+    reports — so every reload, even same host + same jaxlib, takes the
+    cpu_aot_loader "could lead to execution errors such as SIGILL" path
+    (observed in the 8-virtual-device dryrun, MULTICHIP_r03.json tail).
+    The host fingerprint in the cache dir name cannot fix that: the
+    mismatch is pseudo-feature vs detected-feature, not machine vs
+    machine. CPU compiles here are seconds anyway; the cache exists for
+    the TPU backend, whose serialized executables are device programs,
+    not host code. An explicit QIDDM_XLA_CACHE_DIR or user jax config
+    still wins — this gates only the package default."""
+    if not platforms:
+        return True  # auto-selected backend: TPU wherever one exists
+    names = {p.strip().lower() for p in platforms.split(",") if p.strip()}
+    return bool(names - {"cpu"})
+
+
 def _setup_compilation_cache() -> None:
     try:
         cache_dir = os.environ.get("QIDDM_XLA_CACHE_DIR")
         user_configured = jax.config.jax_compilation_cache_dir is not None
         if cache_dir is None and not user_configured:
+            platforms = (jax.config.jax_platforms
+                         or os.environ.get("JAX_PLATFORMS"))
+            if not _cache_platforms_ok(platforms):
+                return
             cache_dir = str(pathlib.Path.home() / ".cache" / "qiddm_tpu"
                             / f"xla-{_host_cpu_fingerprint()}")
         if cache_dir:
@@ -237,6 +263,31 @@ def set_adjoint_mode(mode: str) -> None:
 
 def adjoint_mode() -> str:
     return _ADJOINT_MODE
+
+
+# Grouped-contraction wide chains (sim/wide.py): the w per-wire rotations
+# of an SEL sublayer Kronecker-compose into ceil(w/7) group matrices
+# (<= 128 x 128, one MXU tile edge) applied as batched matmuls — 3 HBM
+# passes instead of w per-gate passes at w=20 (measured 15.6x/sublayer on
+# v5e, tools/bench_wide_micro.py), with the same O(1)-residual adjoint
+# backward as sim/adjoint.py.
+# * "auto": on TPU beyond the Pallas width cap (the regime the per-gate
+#   adjoint path used to own); deferring to adjoint_mode()=="off" so the
+#   forward-autodiff escape hatch still covers every wide route;
+# * "on":   every gate-chain path eligible for adjoint (CPU parity/A-B);
+# * "off":  previous behavior (per-gate adjoint chains).
+_WIDE_MODE = "auto"
+
+
+def set_wide_mode(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(mode)
+    global _WIDE_MODE
+    _WIDE_MODE = mode
+
+
+def wide_mode() -> str:
+    return _WIDE_MODE
 
 
 # Density-backend all-wires channel application strategy:

@@ -201,6 +201,25 @@ def _use_adjoint(wires: int, on_tpu: bool) -> bool:
             or (not on_tpu and wires >= 9))
 
 
+def _use_wide(wires: int, on_tpu: bool) -> bool:
+    """Grouped-contraction routing (config.wide_mode, sim/wide.py): "on"
+    wherever an adjoint chain is eligible, "off" never, "auto" on the
+    TPU wide regime — beyond the Pallas width cap, where the per-gate
+    adjoint chain pays ``wires`` bandwidth-bound HBM passes per sublayer
+    and the grouped MXU contractions measured 15.6x faster (w=20, see
+    tools/bench_wide_micro.py). wide chains are custom-VJP (reverse-mode
+    only), so adjoint_mode "off" — the forward-autodiff escape hatch —
+    disables them exactly like the per-gate adjoint path."""
+    mode = _config.wide_mode()
+    if _config.adjoint_mode() == "off":
+        return False
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return on_tpu and wires > _config.pallas_max_wires()
+
+
 def _sel_small_batch(states, w, imprimitive: str, cdtype):
     """Small-batch SEL application (batch < 2**wires): the fused Pallas
     SEL-chain kernel on TPU/complex64 (states stay VMEM-resident for the
@@ -224,7 +243,12 @@ def _sel_small_batch(states, w, imprimitive: str, cdtype):
         mats = rot_matrix(w[..., 0], w[..., 1], w[..., 2])
         return sel_chain_pallas(states, mats, w.shape[1],
                                 imprimitive=imprimitive).astype(cdtype)
-    if _use_adjoint(w.shape[1], jax.default_backend() == "tpu"):
+    on_tpu = jax.default_backend() == "tpu"
+    if _use_wide(w.shape[1], on_tpu):
+        from .wide import sel_chain_wide
+
+        return sel_chain_wide(states, w, imprimitive=imprimitive)
+    if _use_adjoint(w.shape[1], on_tpu):
         from .adjoint import sel_chain_adjoint
 
         return sel_chain_adjoint(states, w, imprimitive=imprimitive)
@@ -434,6 +458,18 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
         # which is what lets 16+-wire differN configs train single-chip
         # at all. "auto" engages exactly where the gate-level paths run
         # (_use_adjoint); "on" forces it at any width (A/B, tests).
+        # Grouped-contraction wide chain (sim/wide.py): same O(1)-residual
+        # adjoint backward, but each sublayer's w per-gate HBM passes
+        # collapse into ceil(w/7) MXU group contractions (+ring).
+        if not compose and _use_wide(wires, on_tpu):
+            from .wide import reupload_chain_wide
+
+            states = reupload_chain_wide(
+                x_enc, block_weights, encode=encode,
+                imprimitive=imprimitive, cdtype=cdtype)
+            if readout == "probs":
+                return probs(states)
+            return expval_z(states)
         if not compose and _use_adjoint(wires, on_tpu):
             from .adjoint import reupload_chain_adjoint
 

@@ -1,6 +1,7 @@
 """x64 parity mode, UNet/BatchNorm training path, checkpoint roundtrip,
 logger reconstruction."""
 
+import os
 import pathlib
 import subprocess
 import sys
@@ -434,3 +435,38 @@ def test_bench_probe_honors_cpu_request(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", no_subprocess)
     assert bench._probe_backend_or_pin_cpu() == "cpu(requested)"
+
+
+def test_persistent_cache_gated_off_cpu(tmp_path):
+    """The default persistent compile cache must NOT engage on CPU-only
+    platform selections: XLA:CPU cache entries are host-AOT machine code
+    whose pseudo-features (+prefer-no-scatter) always fail the
+    cpu_aot_loader host check — the SIGILL-risk path seen in the
+    MULTICHIP_r03 dryrun tail. TPU/auto selections keep the cache; an
+    explicit QIDDM_XLA_CACHE_DIR wins regardless (subprocess check)."""
+    from qiddm_tpu import config
+
+    assert not config._cache_platforms_ok("cpu")
+    assert not config._cache_platforms_ok("cpu, cpu")
+    assert config._cache_platforms_ok(None)
+    assert config._cache_platforms_ok("")
+    assert config._cache_platforms_ok("axon")
+    assert config._cache_platforms_ok("tpu,cpu")
+
+    repo = str(pathlib.Path(__file__).resolve().parents[1])
+    script = """
+import os, sys; sys.path.insert(0, %r)
+import jax
+import qiddm_tpu
+print("DIR", jax.config.jax_compilation_cache_dir)
+""" % repo
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("QIDDM_XLA_CACHE_DIR", None)
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "DIR None" in out.stdout, (out.stdout, out.stderr)
+
+    env["QIDDM_XLA_CACHE_DIR"] = str(tmp_path / "explicit")
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert str(tmp_path / "explicit") in out.stdout, (out.stdout, out.stderr)
