@@ -35,8 +35,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import config as _config
 from .gates import rot_matrix
-from .sel import sel_ranges
+from .sel import _batched_kron_chain, sel_ranges
 from .statevector import z_sign_table
+from .wide import _adjT, _swapT, group_sizes
+
+
+def _local_group_layout(local_wires: int, grouped: bool):
+    """Partition the LOCAL wires into Kronecker groups (sim/wide.py
+    semantics, <=7 bits -> <=128x128 group matrices on the MXU tile
+    edge). ``grouped=False`` degenerates to size-1 groups — exactly the
+    per-wire einsum the path always did, so "off" is a true fallback."""
+    if not local_wires:
+        return (), ()
+    sizes = group_sizes(local_wires) if grouped else (1,) * local_wires
+    offs = []
+    o = 0
+    for s in sizes:
+        offs.append(o)
+        o += s
+    return sizes, tuple(offs)
 
 
 def _axis_info(mesh: Mesh, axis: str) -> int:
@@ -87,6 +104,8 @@ def make_sel_program(spec: ShardedState, layers: int, imprimitive: str = "cz"):
     local_wires = spec.local_wires
     n_dev, axis = spec.n_dev, spec.axis
     ranges = sel_ranges(layers, wires)
+    l_sizes, l_offs = _local_group_layout(
+        local_wires, _config.wide_mode() != "off")
 
     # static sign table for local CZ diagonals needs the global index:
     # global = dev_idx * 2**local_wires + local_idx
@@ -141,11 +160,24 @@ def make_sel_program(spec: ShardedState, layers: int, imprimitive: str = "cz"):
             sign = 1.0 - 2.0 * (global_bits(c) * global_bits(t))
             return local * sign.astype(local.real.dtype)
 
+        def apply_group_vec(local, g, o, s):
+            # Kronecker group on LOCAL wires [o, o+s) — comm-free matmul
+            # (sim/wide.py grouping; (local_dim,) unbatched state here)
+            left = 2**o
+            right = 2 ** (local_wires - o - s)
+            out = jnp.einsum("xy,lyr->lxr", g,
+                             local.reshape(left, 2**s, right),
+                             precision=_config.matmul_precision())
+            return out.reshape(-1)
+
         for l in range(layers):
             mats = rot_matrix(weights[l, :, 0], weights[l, :, 1],
                               weights[l, :, 2]).astype(local.dtype)
-            for j in range(wires):
+            for j in range(s_bits):
                 local = apply_1q_any(local, mats[j], j)
+            for gi, (o, s) in enumerate(zip(l_offs, l_sizes)):
+                g = _batched_kron_chain(mats[s_bits + o:s_bits + o + s])
+                local = apply_group_vec(local, g, o, s)
             if wires > 1:
                 r = ranges[l]
                 for j in range(wires):
@@ -167,7 +199,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                           readout: str = "expvalz", dtype=jnp.complex64,
                           noise_kind: str | None = None,
                           noise_placement: str = "encode",
-                          adjoint: bool = False):
+                          adjoint: bool = False,
+                          grouped: bool = True):
     """Batched re-uploading block over the mesh — the engine's
     ``reupload_block`` semantics (L x (per-wire encode -> SEL(k))) for
     statevectors too large for one chip.
@@ -208,6 +241,11 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
     local_wires, n_dev, axis = spec.local_wires, spec.n_dev, spec.axis
     dim_local = 2**local_wires
     ranges = sel_ranges(k, wires)  # restart per spectrum layer (engine.py)
+    # LOCAL wires apply as Kronecker-grouped contractions (sim/wide.py:
+    # ceil(local/7) matmul passes instead of ``local_wires`` per-gate
+    # passes over the shard); SHARDED wires keep the per-wire ppermute
+    # butterfly — a group matrix cannot span the device bit.
+    l_sizes, l_offs = _local_group_layout(local_wires, grouped)
 
     # (dim_local, local_wires) sign table for the local wires
     signs_local = jnp.asarray(z_sign_table(local_wires), jnp.float32)
@@ -266,6 +304,29 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         mine0 = gates[:, 0, 0, None] * local + gates[:, 0, 1, None] * other
         mine1 = gates[:, 1, 0, None] * other + gates[:, 1, 1, None] * local
         return jnp.where(b == 0, mine0, mine1)
+
+    def shaped_block(arr, o, s):
+        """(B, left, 2**s, right) view of the LOCAL wire block [o, o+s)
+        (o in local-wire indexing; local wire 0 = shard-adjacent MSB)."""
+        left = 2**o
+        right = 2 ** (local_wires - o - s)
+        return arr.reshape(arr.shape[0], left, 2**s, right)
+
+    def apply_group(local, g, o, s):
+        """Contract a Kronecker group matrix against local wires [o, o+s).
+        g: (2**s, 2**s) shared or (B, 2**s, 2**s) per-sample. Comm-free —
+        groups never span the device bit."""
+        spec_str = "xy,blyr->blxr" if g.ndim == 2 else "bxy,blyr->blxr"
+        out = jnp.einsum(spec_str, g, shaped_block(local, o, s),
+                         precision=_config.matmul_precision())
+        return out.reshape(local.shape[0], -1)
+
+    def local_groups_of(mats_local):
+        """Kronecker-compose per-LOCAL-wire gates (..., local_wires, 2, 2)
+        into the group layout: tuple of (..., 2**s, 2**s)."""
+        return tuple(
+            _batched_kron_chain(mats_local[..., o:o + s, :, :])
+            for o, s in zip(l_offs, l_sizes))
 
     def apply_cz(local, c, t):
         sign = 1.0 - 2.0 * (global_bits(c) * global_bits(t))
@@ -339,20 +400,26 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         return (jnp.pi * 0.5) * x_enc if encode == "rz_halfpi" else x_enc
 
     def build_enc(x, cplx):
-        """The encoding operand: per-sample RY gates (B, wires, 2, 2) —
-        REPLICATED (a pure function of the replicated x) — or the RZ phase
-        plane (B, dim_local) — device-VARYING. Built outside the adjoint
-        custom VJP so its pullback onto x runs under plain autodiff."""
+        """The encoding operand: for RY a (shard_gates (B, s_bits, 2, 2),
+        local group matrices tuple of (B, 2**s, 2**s)) pair — REPLICATED
+        (pure functions of the replicated x) — or the RZ phase plane
+        (B, dim_local) — device-VARYING. Built outside the adjoint custom
+        VJP so its pullback onto x runs under plain autodiff (including
+        through the Kronecker group assembly)."""
         if encode == "ry":
             from .statevector import ry_gates
 
-            return ry_gates(x, dtype=cplx)
+            g = ry_gates(x, dtype=cplx)  # (B, wires, 2, 2)
+            return (g[:, :s_bits], local_groups_of(g[:, s_bits:]))
         return rz_phase_plane(x, cplx)
 
     def enc_fwd(local, enc):
         if encode == "ry":
-            for j in range(wires):
-                local = apply_1q_batched(local, enc[:, j], j)
+            enc_shard, enc_groups = enc
+            for j in range(s_bits):
+                local = apply_1q_batched(local, enc_shard[:, j], j)
+            for gi, (o, s) in enumerate(zip(l_offs, l_sizes)):
+                local = apply_group(local, enc_groups[gi], o, s)
             return local
         return local * enc
 
@@ -413,8 +480,11 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
             for kk in range(k):
                 mats = rot_matrix(weights[l, kk, :, 0], weights[l, kk, :, 1],
                                   weights[l, kk, :, 2]).astype(dtype)
-                for j in range(wires):
+                for j in range(s_bits):
                     local = apply_1q_any(local, mats[j], j)
+                for (o, s), g in zip(zip(l_offs, l_sizes),
+                                     local_groups_of(mats[s_bits:])):
+                    local = apply_group(local, g, o, s)
                 local = sel_ring(local, kk)
         if noise_kind is not None and noise_placement == "end":
             local = apply_channel(local, noise_keys[L])
@@ -512,12 +582,33 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
                            jnp.where(b0, zero, own)], axis=-1)], axis=-2)
             return s_in, c_in, du
 
+        def g_bwd_group(s, c, g, o, sz, batched: bool):
+            """Reverse one local Kronecker group: reconstruct the input
+            state (G^H), emit this device's partial of dG = sum c (x) s_in
+            (JAX's unconjugated convention), transpose the cotangent
+            (G^T). Comm-free — local wires only."""
+            s_in = apply_group(s, _adjT(g), o, sz)
+            spec_str = "blxr,blyr->bxy" if batched else "blxr,blyr->xy"
+            dg = jnp.einsum(spec_str, shaped_block(c, o, sz),
+                            shaped_block(s_in, o, sz),
+                            precision=_config.matmul_precision())
+            c_in = apply_group(c, _swapT(g), o, sz)
+            return s_in, c_in, dg
+
         def enc_bwd(s, c, d_enc, enc):
             if encode == "ry":
-                for j in range(wires - 1, -1, -1):
-                    s, c, du = g_bwd_batched(s, c, enc[:, j], j)
-                    d_enc = d_enc.at[:, j].add(du)
-                return s, c, d_enc
+                enc_shard, enc_groups = enc
+                d_shard, d_groups = d_enc
+                for gi in range(len(l_sizes) - 1, -1, -1):
+                    o, sz = l_offs[gi], l_sizes[gi]
+                    s, c, dg = g_bwd_group(s, c, enc_groups[gi], o, sz,
+                                           True)
+                    d_groups = tuple(d + dg if i == gi else d
+                                     for i, d in enumerate(d_groups))
+                for j in range(s_bits - 1, -1, -1):
+                    s, c, du = g_bwd_batched(s, c, enc_shard[:, j], j)
+                    d_shard = d_shard.at[:, j].add(du)
+                return s, c, (d_shard, d_groups)
             s_in = s * jnp.conj(enc)  # unit phases: conj == inverse
             d_enc = d_enc + c * s_in
             return s_in, c * enc, d_enc
@@ -525,59 +616,78 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         x = scaled_x(x_enc)
         enc = build_enc(x, cplx)
 
-        def chain_impl(local0, enc, mats_all):
-            def layer(local, mats_l):  # mats_l: (k, wires, 2, 2)
+        def chain_impl(local0, enc, mats_shard, groups):
+            # mats_shard: (L, k, s_bits, 2, 2); groups: tuple over local
+            # Kronecker groups of (L, k, 2**s, 2**s)
+            def layer(local, xs):
+                mats_l, groups_l = xs
                 local = enc_fwd(local, enc)
                 for kk in range(k):
-                    for j in range(wires):
+                    for j in range(s_bits):
                         local = apply_1q_any(local, mats_l[kk, j], j)
+                    for gi, (o, sz) in enumerate(zip(l_offs, l_sizes)):
+                        local = apply_group(local, groups_l[gi][kk], o, sz)
                     local = sel_ring(local, kk)
                 return local, None
 
-            out, _ = jax.lax.scan(layer, local0, mats_all)
+            out, _ = jax.lax.scan(layer, local0, (mats_shard, groups))
             return out
 
         @jax.custom_vjp
-        def chain(local0, enc, mats_all):
-            return chain_impl(local0, enc, mats_all)
+        def chain(local0, enc, mats_shard, groups):
+            return chain_impl(local0, enc, mats_shard, groups)
 
-        def chain_fwd(local0, enc, mats_all):
-            out = chain_impl(local0, enc, mats_all)
-            return out, (out, enc, mats_all)
+        def chain_fwd(local0, enc, mats_shard, groups):
+            out = chain_impl(local0, enc, mats_shard, groups)
+            return out, (out, enc, mats_shard, groups)
 
         def chain_bwd(res, ct):
-            out, enc, mats_all = res
-            d_enc0 = jnp.zeros_like(enc)
+            out, enc, mats_shard, groups = res
+            d_enc0 = jax.tree.map(jnp.zeros_like, enc)
             if encode == "ry":
                 # enc (ry_gates of the replicated x) is replicated, but the
                 # accumulated cotangent is device-varying until the final
                 # psum — cast the carry so the scan types line up
-                d_enc0 = jax.lax.pcast(d_enc0, (axis,), to="varying")
+                d_enc0 = jax.tree.map(
+                    lambda t: jax.lax.pcast(t, (axis,), to="varying"),
+                    d_enc0)
 
-            def layer(carry, mats_l):
+            def layer(carry, xs):
+                mats_l, groups_l = xs
                 s, c, d_enc = carry
                 dm_l = jnp.zeros_like(mats_l)
+                dg_l = tuple(jnp.zeros_like(g) for g in groups_l)
                 for kk in range(k - 1, -1, -1):
                     s = sel_ring(s, kk, reverse=True)
                     c = sel_ring(c, kk, reverse=True)
-                    for j in range(wires - 1, -1, -1):
+                    for gi in range(len(l_sizes) - 1, -1, -1):
+                        o, sz = l_offs[gi], l_sizes[gi]
+                        s, c, dg = g_bwd_group(s, c, groups_l[gi][kk],
+                                               o, sz, False)
+                        dg_l = tuple(d.at[kk].set(dg) if i == gi else d
+                                     for i, d in enumerate(dg_l))
+                    for j in range(s_bits - 1, -1, -1):
                         s, c, du = g_bwd(s, c, mats_l[kk, j], j)
                         dm_l = dm_l.at[kk, j].set(du)
                 s, c, d_enc = enc_bwd(s, c, d_enc, enc)
-                return (s, c, d_enc), dm_l
+                return (s, c, d_enc), (dm_l, dg_l)
 
-            (s0, c0, d_enc), dms = jax.lax.scan(
-                layer, (out, ct, d_enc0), mats_all[::-1])
-            # gate cotangents are per-device PARTIALS of a contraction over
-            # the distributed state dimension — psum completes them. It also
-            # satisfies shard_map's replication checker: ``mats`` (and the
-            # RY ``enc``) are built from replicated inputs, so their
-            # cotangents must be provably replicated; the RZ phase plane is
-            # device-varying and its cotangent stays local.
+            (s0, c0, d_enc), (dms, dgs) = jax.lax.scan(
+                layer, (out, ct, d_enc0),
+                (mats_shard[::-1], tuple(g[::-1] for g in groups)))
+            # gate/group cotangents are per-device PARTIALS of a
+            # contraction over the distributed state dimension — psum
+            # completes them. It also satisfies shard_map's replication
+            # checker: ``mats``/``groups`` (and the RY ``enc``) are built
+            # from replicated inputs, so their cotangents must be provably
+            # replicated; the RZ phase plane is device-varying and its
+            # cotangent stays local.
             dms = jax.lax.psum(dms[::-1], axis)
+            dgs = tuple(jax.lax.psum(d[::-1], axis) for d in dgs)
             if encode == "ry":
-                d_enc = jax.lax.psum(d_enc, axis)
-            return c0, d_enc, dms
+                d_enc = jax.tree.map(lambda t: jax.lax.psum(t, axis),
+                                     d_enc)
+            return c0, d_enc, dms, dgs
 
         chain.defvjp(chain_fwd, chain_bwd)
 
@@ -585,7 +695,10 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
         mats = rot_matrix(flat[..., 0], flat[..., 1],
                           flat[..., 2]).astype(cplx)
         mats = mats.reshape(L, k, wires, 2, 2)
-        local = chain(init_state(B, cplx), enc, mats)
+        # group assembly stays OUTSIDE the custom VJP (tiny tensors):
+        # plain autodiff carries dG -> per-gate dU -> rotation angles
+        local = chain(init_state(B, cplx), enc, mats[:, :, :s_bits],
+                      local_groups_of(mats[:, :, s_bits:]))
         return measure(local)
     out_spec = P(None, axis) if readout == "probs" else P()
     if noise_kind is None:
@@ -603,7 +716,8 @@ def make_reupload_program(spec: ShardedState, L: int, k: int, *,
 @functools.lru_cache(maxsize=64)
 def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
                              readout, dtype, noise_kind=None,
-                             noise_placement="encode", adjoint=False):
+                             noise_placement="encode", adjoint=False,
+                             grouped=True):
     """Memoized program build: a fresh jax.jit closure per call would be a
     new cache key every time, retracing/recompiling the whole shard_map
     program on each eager invocation of the engine mesh route."""
@@ -613,7 +727,7 @@ def _cached_reupload_program(wires, mesh, axis, L, k, imprimitive, encode,
                                  dtype=jnp.dtype(dtype),
                                  noise_kind=noise_kind,
                                  noise_placement=noise_placement,
-                                 adjoint=adjoint)
+                                 adjoint=adjoint, grouped=grouped)
 
 
 def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
@@ -637,10 +751,13 @@ def reupload_block_sharded(x_enc, block_weights, mesh, *, axis: str = "data",
     # too large for one chip), so adjoint-mode differentiation is the
     # default for the clean chain; "off" keeps plain autodiff for A/B
     adjoint = noise_kind is None and _config.adjoint_mode() != "off"
+    # local-wire Kronecker grouping shares the wide_mode switch: "off"
+    # restores the per-wire einsum path exactly (size-1 groups)
+    grouped = _config.wide_mode() != "off"
     fn = _cached_reupload_program(wires, mesh, axis, int(L), int(k),
                                   imprimitive, encode, readout,
                                   jnp.dtype(dtype).name, noise_kind,
-                                  noise_placement, adjoint)
+                                  noise_placement, adjoint, grouped)
     if noise_kind is None:
         return fn(x_enc, block_weights)
     b = x_enc.shape[0]

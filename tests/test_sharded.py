@@ -327,3 +327,51 @@ def test_fully_sharded_statevector():
         x, ww, readout="expvalz")))(w)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_de),
                                atol=3e-5)
+
+
+@pytest.mark.parametrize("encode,imprimitive", [
+    ("rz", "cz"), ("ry", "cnot"),
+])
+def test_sharded_grouped_matches_perwire(encode, imprimitive):
+    """Local-wire Kronecker grouping (sim/wide.py layout on the mesh
+    path) vs the per-wire einsum path it replaced (wide_mode "off" →
+    size-1 groups): values and ALL gradients agree, adjoint on and off.
+    wires=9 on the 8-device mesh gives 6 local wires → groups (3, 3),
+    a genuinely multi-wire grouping."""
+    from qiddm_tpu import config
+    from qiddm_tpu.sim.sharded import (_cached_reupload_program,
+                                       reupload_block_sharded)
+
+    mesh = make_mesh(8, ("data",))
+    wires, L, k, B = 9, 2, 2, 2
+    w = jnp.asarray(RNG.normal(size=(L, k, wires, 3)) * 0.5, jnp.float32)
+    x = jnp.asarray(RNG.uniform(size=(B, wires)) * 2.0, jnp.float32)
+    coeff = jnp.asarray(RNG.normal(size=(B, wires)), jnp.float32)
+
+    def loss(w, x):
+        out = reupload_block_sharded(x, w, mesh, encode=encode,
+                                     imprimitive=imprimitive,
+                                     readout="expvalz")
+        return jnp.sum(coeff * out)
+
+    results = {}
+    for wide_mode in ("auto", "off"):
+        for adj_mode in ("auto", "off"):
+            config.set_wide_mode(wide_mode)
+            config.set_adjoint_mode(adj_mode)
+            try:
+                val, grads = jax.value_and_grad(
+                    loss, argnums=(0, 1))(w, x)
+                results[(wide_mode, adj_mode)] = (
+                    float(val), [np.asarray(g) for g in grads])
+            finally:
+                config.set_wide_mode("auto")
+                config.set_adjoint_mode("auto")
+
+    ref_val, ref_grads = results[("off", "off")]
+    for key, (val, grads) in results.items():
+        np.testing.assert_allclose(val, ref_val, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"value {key}")
+        for i, g in enumerate(grads):
+            np.testing.assert_allclose(g, ref_grads[i], atol=3e-5,
+                                       err_msg=f"grad arg{i} {key}")
