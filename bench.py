@@ -288,8 +288,9 @@ def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
     """Training-step throughput for a re-uploading block at 16+ wires —
     beyond the reference's 10-wire ceiling (SURVEY §5.7: its widest
     circuit is 10 wires; PennyLane warns above that). One chip, full
-    fwd+bwd per step, on the gate-level XLA route with the ADJOINT-mode
-    backward (sim/adjoint.py — auto for wires > config.pallas_max_wires()).
+    fwd+bwd per step, on the grouped-Kronecker-contraction route with
+    the ADJOINT-mode backward (sim/wide.py — auto on TPU for wires >
+    config.pallas_max_wires(); DESIGN.md wide-regime roofline section).
     The 20-wire variant exists ONLY because of adjoint mode: plain
     autodiff would save L*k*wires intermediate (batch, 2^20) states
     (~37 GB) per step — over twice the chip's HBM."""

@@ -378,10 +378,29 @@ print("CACHEDIR=" + str(jax.config.jax_compilation_cache_dir))
                          capture_output=True, text=True, check=True)
     assert "CACHEDIR=None" in out.stdout
 
-    # default (no env var): keyed by host-CPU fingerprint so XLA:CPU AOT
-    # entries never cross incompatible machines (SIGILL risk on load)
+    # default (no env var) on a CPU-only platform selection: the package
+    # default stays OFF — XLA:CPU executables serialize as host AOT code
+    # whose target-machine pseudo-features trip the cpu_aot_loader
+    # SIGILL-risk path on every reload (config._cache_platforms_ok)
     env.pop("QIDDM_XLA_CACHE_DIR")
     out = subprocess.run([sys.executable, "-c", prog], env=env,
+                         capture_output=True, text=True, check=True)
+    assert "CACHEDIR=None" in out.stdout
+
+    # default with a non-CPU-only selection (auto / TPU present): engaged,
+    # keyed by host-CPU fingerprint + jaxlib so entries never cross
+    # incompatible machines. Platforms are pinned to cpu only AFTER import
+    # so the gating sees the auto selection but execution stays on CPU.
+    prog_auto = prog.replace(
+        'import jax\n# the axon sitecustomize overrides the env var alone '
+        '(see conftest.py)\njax.config.update("jax_platforms", "cpu")',
+        'import jax')
+    assert prog_auto != prog  # the replace must have fired
+    prog_auto = prog_auto.replace(
+        "import qiddm_tpu",
+        'import qiddm_tpu\njax.config.update("jax_platforms", "cpu")')
+    env.pop("JAX_PLATFORMS")
+    out = subprocess.run([sys.executable, "-c", prog_auto], env=env,
                          capture_output=True, text=True, check=True)
     from qiddm_tpu.config import _host_cpu_fingerprint
     assert f"xla-{_host_cpu_fingerprint()}" in out.stdout
