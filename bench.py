@@ -210,12 +210,18 @@ def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 30,
         lambda: diff.sample(first_x=first_x, n_iters=iters, only_last=True),
         reps)
     v = batch / wall
-    return {
+    rec = {
         "metric": f"sample_images_per_sec_qiddm_ll_tau15{tag}",
         "value": round(v, 1),
         "unit": "images/s",
         "vs_baseline": round(v / REFERENCE_SAMPLE_IMAGES_PER_SEC, 1),
-    }, f"batch={batch}, {iters} denoise iters, wall/rep={wall * 1e3:.1f}ms"
+    }
+    if batch >= 2 ** 6:  # composed-unitary (MXU) regime: attach roofline
+        rec["roofline"] = _serving_mxu_roofline(
+            batch=batch, wires=6, L=14, N=2, k=2, pixels=784, iters=iters,
+            images_per_sec=v)
+    return rec, (f"batch={batch}, {iters} denoise iters, "
+                 f"wall/rep={wall * 1e3:.1f}ms")
 
 
 def bench_aot_serving(batch: int = 1024, iters: int = 15, reps: int = 30):
@@ -246,6 +252,35 @@ def bench_aot_serving(batch: int = 1024, iters: int = 15, reps: int = 30):
         "vs_baseline": round(v / REFERENCE_SAMPLE_IMAGES_PER_SEC, 1),
     }, (f"batch={batch}, {iters} iters, artifact {len(blob)/1e6:.2f} MB, "
         f"wall/rep={wall * 1e3:.1f}ms")
+
+
+def _serving_mxu_roofline(batch, wires, L, N, k, pixels, iters,
+                          images_per_sec):
+    """Roofline for the composed-unitary serving path (batch >= 2^wires):
+    the ONE regime where the MXU carries the run. Per denoise iter the
+    net runs linear_down (2*B*pixels*w flops), N re-uploading blocks —
+    each composes its k sublayers into L (d, d) unitaries (8*L*k*d^3
+    complex-compose flops, batch-independent) and applies them as L
+    batched (B, d) @ (d, d) complex matmuls (8*B*d^2 each) — and
+    linear_up (2*B*d*pixels). Denominators: raw bf16 peak AND the
+    fp32-'highest' MXU ceiling (peak/6 — complex64 contractions run as
+    6-pass-emulated fp32 passes, DESIGN.md §4), the honest
+    speed-of-light for this dtype."""
+    d = 2 ** wires
+    per_iter = (2 * batch * pixels * wires          # linear_down
+                + N * L * k * 8 * d ** 3            # unitary composition
+                + N * L * 8 * batch * d ** 2        # composed-unitary apply
+                + 2 * batch * d * pixels)           # linear_up
+    flops = per_iter * iters * (images_per_sec / batch)
+    return {
+        "achieved_tflops": round(flops / 1e12, 2),
+        "pct_of_v5e_bf16_peak": round(100 * flops / V5E_PEAK_BF16_FLOPS, 2),
+        "pct_of_fp32_highest_mxu_ceiling": round(
+            100 * flops / (V5E_PEAK_BF16_FLOPS / 6), 1),
+        "note": ("composed-unitary route: batched complex (B,d)@(d,d) "
+                 "matmuls at d=2^%d; ceiling = bf16 peak / 6-pass "
+                 "complex-highest emulation" % wires),
+    }
 
 
 def bench_noise_dm_sampling(batch: int = 10, iters: int = 15, reps: int = 3,
@@ -339,6 +374,46 @@ def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
     }, (f"{steps} fwd+bwd steps at wires={wires} (d=2^{wires}), L={L}, "
         f"k={k}, batch={batch}; loss {losses[0]:.4f} -> {losses[-1]:.4f}; "
         f"no reference baseline — beyond its 10-wire ceiling")
+
+
+def bench_unet(qdepth: int = 0, epochs: int = 10, batch_size: int = 8):
+    """U-Net diffusion training throughput. qdepth=0 is the reference's
+    strongest classical baseline (``UNetUndirected 3/8/0``, commented-in
+    driver default at src/mnist_exm.py:42, lr=0.01 from its
+    --UNetUndirected_lr flag); qdepth>0 routes every Conv2d through the
+    quantum convolution (nn/qconv.py QConv2d — unfolded patches encoded
+    into 2^q-dim statevectors, the live-circuit behavior). Same data
+    protocol as the primary row (MNIST-28 label 4, 80% of ds_size=500)."""
+    import jax
+
+    from qiddm_tpu import nn
+    from qiddm_tpu.diffusion import Diffusion
+    from qiddm_tpu.train import train_diffusion_scan
+    (x, y, h, w), _ = _load_mnist28_with_provenance()
+    x = x[y == 4]
+    x = x[: int(len(x) * 0.8)]
+
+    net = nn.UNetUndirected(3, 8, qdepth, img_shape=(h, w))
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w))
+    losses, wall = train_diffusion_scan(
+        diff, x, epochs=epochs, batch_size=batch_size, lr=0.01, T=10,
+        key=jax.random.PRNGKey(42))
+    n_images = len(x) * epochs
+    v = n_images / wall
+    kind = "classical baseline" if qdepth == 0 else "QConv2d quantum convs"
+    # the reference never published a U-Net throughput; its per-image
+    # training cost is bounded below by the 2.3 img/s quantum-model rate
+    # for the classical net (strictly faster there) — report vs_baseline
+    # against the same 2.3 so the rows stay comparable, labeled as such
+    return {
+        "metric": f"train_images_per_sec_unet_d3_s8_q{qdepth}",
+        "value": round(v, 1),
+        "unit": "images/s",
+        "vs_baseline": round(v / REFERENCE_IMAGES_PER_SEC, 1),
+    }, (f"{n_images} images ({len(x)} x {epochs} epochs), wall={wall:.3f}s, "
+        f"{kind}, loss {losses[0]:.4f} -> {losses[-1]:.4f}; vs_baseline is "
+        f"vs the 2.3 img/s quantum-row reference rate (no published U-Net "
+        f"baseline)")
 
 
 def bench_traj_noisy_sampling(wires: int = 12, batch: int = 10,
@@ -456,8 +531,9 @@ def main(argv=None):
             }, indent=2))
 
         write()
+        unet_q = lambda: bench_unet(qdepth=3, epochs=5)
         for fn in (bench_qiddm_ll_flagship, bench_sampling, serving,
-                   bench_aot_serving,
+                   bench_aot_serving, bench_unet, unet_q,
                    bench_noise_dm_sampling, bench_traj_noisy_sampling,
                    bench_wide_reupload, wide20):
             rec = fn()
