@@ -8,7 +8,11 @@ which stage swings (the suspect is first-execution: shipping the
 compiled program to the device through the axon tunnel).
 """
 
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import numpy as np

@@ -1,14 +1,20 @@
 """Prewarm the persistent XLA compile cache for the bench/driver shapes.
 
 VERDICT r3 item 4: BENCH_r03's primary-row setup hit 51.2 s on the round
-driver's cold run. The persistent cache (config._setup_compilation_cache)
-keys entries on the exact HLO, so ANY code change that reaches a traced
-program invalidates its entry — r3 committed sim-path changes after the
-last on-chip bench run, and the driver paid the recompile. The fix is
-operational: run THIS tool on the target chip after the last code change
-of a round. It executes the bench's primary program (populating the
-cache), then re-runs it in a fresh subprocess and verifies the warm
-setup time — what the round driver will pay — is under the threshold.
+driver's cold run. tools/bench_setup_probe.py partitions the setup on
+the real chip: trace 2 s, persistent-cache load 0.25 s, **first
+execution 89-153 s**, steady execution 0.36 s. The dominant cost is NOT
+host-side compile (the persistent HLO cache covers that) but the axon
+server loading/compiling the 14.2 MB-generated-code program into the
+TPU on first execution — and THAT load is cached device-side across
+host processes (an immediately-following fresh process measures 4.0 s).
+So the fix is operational and this tool is it: run it on the target
+chip after the LAST code change of a round (any sim-path change alters
+the HLO and re-triggers both the host compile and the server-side
+load). It executes the bench's primary program (populating the host
+cache AND the server-side program cache), then re-runs it in a fresh
+subprocess and verifies the warm setup time — what the round driver
+will pay — is under the threshold.
 
     python tools/prewarm.py            # primary bench row only (~1 min warm)
     python tools/prewarm.py --suite    # every suite row's programs too
