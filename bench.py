@@ -344,27 +344,39 @@ def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
                              readout="expvalz")
         return jnp.mean((out - tgt) ** 2)
 
-    # host loop over ONE jitted step rather than a lax.scan over all of
-    # them: at 2^20 amplitudes XLA's compile of the scan-wrapped adjoint
-    # program is pathological (a 20-step scan never finished on-chip
-    # while the identical single-step program compiles in ~3 min and a
-    # 2-step scan is fine), and per-dispatch latency is noise against
-    # the >100 ms step walls here. Each call consumes the previous
-    # step's w, so the timed region is a genuine serial training chain.
-    @jax.jit
-    def step(w):
+    def step(w, _):
         loss, g = jax.value_and_grad(loss_fn)(w)
         return w - 0.01 * g, loss
 
-    w, first_loss = step(w0)     # compile + warmup
-    _sync(first_loss)
-    t0 = time.time()
-    losses = []
-    for _ in range(steps):
-        w, loss = step(w)
-        losses.append(loss)
-    losses = [float(_sync(l)) for l in losses]
-    wall = time.time() - t0
+    # <=16 wires: ONE lax.scan program over all steps. The 4 MB state
+    # planes leave the ~15 ms device step dominated by the serial
+    # per-step dispatch through the axon tunnel when host-looped —
+    # measured 28.6 -> 68.6 steps/s scanned (results/wide_scan_ab_w16.json,
+    # tools/bench_wide_scan_ab.py). At 20 wires the scan compiles fine
+    # since the grouped-Kronecker route shrank the program (125 s — the
+    # old per-gate adjoint scan never finished) but gains nothing
+    # (speedup 0.99: 294 ms device steps amortize dispatch), so the
+    # host loop stays and keeps compile short.
+    if wires <= 16:
+        import numpy as np
+
+        run = jax.jit(lambda w: jax.lax.scan(step, w, None, length=steps))
+        _sync(run(w0)[1])        # compile + warmup
+        t0 = time.time()
+        w, losses = run(w0)
+        losses = [float(l) for l in np.asarray(losses)]  # fetch == sync
+        wall = time.time() - t0
+    else:
+        step_j = jax.jit(lambda w: step(w, None))
+        w, first_loss = step_j(w0)     # compile + warmup
+        _sync(first_loss)
+        t0 = time.time()
+        losses = []
+        for _ in range(steps):
+            w, loss = step_j(w)
+            losses.append(loss)
+        losses = [float(_sync(l)) for l in losses]
+        wall = time.time() - t0
     v = steps / wall
     return {
         "metric": f"train_steps_per_sec_reupload_{wires}wires",
