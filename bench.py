@@ -188,6 +188,35 @@ def bench_qiddm_ll_flagship(epochs: int = 50):
         f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
 
+def bench_qnn_flagship(epochs: int = 50):
+    """The mnist_exm driver's SECOND default model (QNN_noise 784/8/14 —
+    reference src/mnist_exm.py:48) at the driver defaults (batch_size=1,
+    lr=0.01011 from --QNN_noise_lr, tau=10) — completes on-chip coverage
+    of every model the reference driver trains by default."""
+    import jax
+
+    from qiddm_tpu import data, nn
+    from qiddm_tpu.diffusion import Diffusion
+    from qiddm_tpu.train import train_diffusion_scan
+    x, y, h, w = data.mnist_28x28(n_classes=10, ds_size=500)
+    x = x[y == 4]
+    x = x[: int(len(x) * 0.8)]
+
+    net = nn.QNN_noise(784, 8, 14)
+    diff = Diffusion(net=net, prediction_goal="data", shape=(h, w))
+    losses, wall = train_diffusion_scan(
+        diff, x, epochs=epochs, batch_size=1, lr=0.01011, T=10,
+        key=jax.random.PRNGKey(42))
+    n_images = len(x) * epochs
+    return {
+        "metric": "train_images_per_sec_mnist28_qnn_noise_bs1",
+        "value": round(n_images / wall, 1),
+        "unit": "images/s",
+        "vs_baseline": round(n_images / wall / REFERENCE_IMAGES_PER_SEC, 1),
+    }, (f"{n_images} images, wall={wall:.3f}s, "
+        f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+
 def bench_sampling(batch: int = 100, iters: int = 15, reps: int = 30,
                    tag: str = ""):
     """Batched sampling throughput on the flagship (serving path,
@@ -544,7 +573,8 @@ def main(argv=None):
 
         write()
         unet_q = lambda: bench_unet(qdepth=3, epochs=5)
-        for fn in (bench_qiddm_ll_flagship, bench_sampling, serving,
+        for fn in (bench_qiddm_ll_flagship, bench_qnn_flagship,
+                   bench_sampling, serving,
                    bench_aot_serving, bench_unet, unet_q,
                    bench_noise_dm_sampling, bench_traj_noisy_sampling,
                    bench_wide_reupload, wide20):
