@@ -290,6 +290,27 @@ def wide_mode() -> str:
     return _WIDE_MODE
 
 
+# VMEM-resident fused kernel for the wide chain (sim/pallas_wide_kernel.py):
+# * "auto": on TPU, for eligible chains (rz encode, CZ ring, complex64,
+#   13 <= wires <= 20 — see wide._use_wide_kernel); the XLA grouped chain
+#   keeps everything else;
+# * "on":   force anywhere eligible (off-TPU runs interpret-mode — CPU
+#   parity tests);
+# * "off":  always the XLA grouped chain.
+_WIDE_KERNEL_MODE = "auto"
+
+
+def set_wide_kernel_mode(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(mode)
+    global _WIDE_KERNEL_MODE
+    _WIDE_KERNEL_MODE = mode
+
+
+def wide_kernel_mode() -> str:
+    return _WIDE_KERNEL_MODE
+
+
 # Density-backend all-wires channel application strategy:
 # * "perwire": the closed-form per-wire block pass (elementwise mask + one
 #   block add per wire) — few FLOPs, 2 small VPU ops per wire;

@@ -229,6 +229,105 @@ def _make_wide_chain(L: int, k: int, wires: int, imprimitive: str,
     return chain
 
 
+@functools.lru_cache(maxsize=None)
+def _make_wide_chain_pallas(L: int, k: int, wires: int):
+    """Fused-kernel twin of _make_wide_chain (rz / cz / zero-init only),
+    operating on packed 2**20 superstates (see _reupload_wide_kernel).
+
+    Returns ``chain(enc_packed, gs_padded) -> states_packed``. The
+    complex<->plane conversions below live INSIDE the custom-VJP fwd/bwd,
+    so they are never themselves differentiated — the hand-written
+    backward (wide_bwd_planes) carries the exact cotangent conventions of
+    the XLA chain (tests/test_wide_kernel.py pins values + grads)."""
+    from .pallas_wide_kernel import (dgs_from_planes, from_planes,
+                                     gs_to_planes, to_planes,
+                                     wide_bwd_planes, wide_fwd_planes)
+
+    interpret = jax.default_backend() != "tpu"
+
+    def fwd_impl(enc, gs):
+        out = wide_fwd_planes(to_planes(enc), gs_to_planes(gs),
+                              L, k, wires, interpret=interpret)
+        return from_planes(out, dtype=enc.dtype)
+
+    @jax.custom_vjp
+    def chain(enc, gs):
+        return fwd_impl(enc, gs)
+
+    def chain_fwd(enc, gs):
+        out = fwd_impl(enc, gs)
+        return out, (out, enc, gs)
+
+    def chain_bwd(res, ct):
+        out, enc, gs = res
+        denc_p, dgs_p = wide_bwd_planes(
+            to_planes(out), to_planes(ct), to_planes(enc),
+            gs_to_planes(gs), L, k, wires, interpret=interpret)
+        return (from_planes(denc_p, dtype=enc.dtype),
+                dgs_from_planes(dgs_p, L, k, dtype=gs[0].dtype))
+
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
+
+
+def _reupload_wide_kernel(x_enc, block_weights, cdtype):
+    """Fused-kernel route for the rz/CZ re-uploading chain: pack
+    ``2**(20 - w)`` samples per 2**20 superstate (batch bits lead, gate
+    list extended with identities on them — padded groups are
+    ``I (x) G`` blocks that never mix samples), run the VMEM-resident
+    chain, unpack. Padded tail samples carry unit phases forward and
+    zero cotangents backward, so dG/d_enc stay exact; the padded-group
+    assembly is plain autodiff (identity slots are constants), pulling
+    dG back to the real per-wire rotation angles."""
+    from .pallas_wide_kernel import SIZES, TOTAL_BITS
+    from .statevector import rz_phases
+
+    L, k, wires, _ = block_weights.shape
+    batch = x_enc.shape[0]
+    pack = 2 ** (TOTAL_BITS - wires)
+    bp = -(-batch // pack)
+    pad_n = bp * pack - batch
+    enc = rz_phases(x_enc, wires).astype(cdtype)
+    if pad_n:
+        enc = jnp.concatenate(
+            [enc, jnp.ones((pad_n, enc.shape[1]), enc.dtype)])
+    enc_packed = enc.reshape(bp, 2**TOTAL_BITS)
+    flat = block_weights.reshape(L * k, wires, 3)
+    mats = rot_matrix(flat[..., 0], flat[..., 1],
+                      flat[..., 2]).astype(cdtype)
+    if TOTAL_BITS > wires:
+        eye = jnp.broadcast_to(jnp.eye(2, dtype=cdtype),
+                               (L * k, TOTAL_BITS - wires, 2, 2))
+        mats = jnp.concatenate([eye, mats], axis=1)
+    gs = tuple(g.reshape(L, k, *g.shape[1:])
+               for g in group_gates(mats, SIZES))
+    chain = _make_wide_chain_pallas(L, k, wires)
+    states = chain(enc_packed, gs)
+    return states.reshape(bp * pack, 2**wires)[:batch]
+
+
+def _use_wide_kernel(wires: int, encode: str, imprimitive: str,
+                     cdtype) -> bool:
+    """Fused-kernel routing (config.wide_kernel_mode): "on" forces it
+    anywhere eligible (interpret-mode off-TPU — CPU parity tests), "auto"
+    engages on TPU only, "off" keeps the XLA grouped chain. Eligible =
+    rz encode + CZ ring + complex64 + wires in [13, 20] (13 = beyond the
+    <=12-wire gate kernels; 20 = the superstate width — the backward
+    holds ~8 plane-sized buffers of 2**20 * 4 B each against the v5e's
+    128 MB VMEM)."""
+    from .pallas_wide_kernel import MIN_WIRES, TOTAL_BITS
+
+    mode = _config.wide_kernel_mode()
+    if mode == "off":
+        return False
+    eligible = (encode in ("rz", "rz_halfpi") and imprimitive == "cz"
+                and cdtype == jnp.complex64
+                and MIN_WIRES <= wires <= TOTAL_BITS)
+    if not eligible:
+        return False
+    return mode == "on" or jax.default_backend() == "tpu"
+
+
 def max_group_bits() -> int:
     """Group width cap: 7 -> 128 x 128 group matrices, exactly one MXU
     tile edge (tools/bench_wide_micro.py: larger groups double FLOPs for
@@ -251,6 +350,8 @@ def reupload_chain_wide(x_enc, block_weights, *, encode: str = "rz",
 
     L, k, wires, _ = block_weights.shape
     batch = x_enc.shape[0]
+    if _use_wide_kernel(wires, encode, imprimitive, cdtype):
+        return _reupload_wide_kernel(x_enc, block_weights, cdtype)
     sizes = group_sizes(wires, max_group_bits())
     flat = block_weights.reshape(L * k, wires, 3)
     mats = rot_matrix(flat[..., 0], flat[..., 1],
