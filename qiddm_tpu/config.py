@@ -297,7 +297,19 @@ def wide_mode() -> str:
 # * "on":   force anywhere eligible (off-TPU runs interpret-mode — CPU
 #   parity tests);
 # * "off":  always the XLA grouped chain.
+#
+# Which kernel the route uses is governed by _WIDE_KERNEL_VARIANT:
+# * "scan":     per-sublayer programs reused via lax.scan — bounded Mosaic
+#   compile (one tiny fwd + one tiny bwd program regardless of L), 2 HBM
+#   passes per sublayer (~0.6 ms/step extra at w=20, negligible vs the
+#   step's matmul work). The production variant.
+# * "monolith": the whole L x k chain in one kernel, superstate
+#   VMEM-resident end to end — minimum HBM, but Mosaic compile cost
+#   scales with depth (624 s for L=1 fwd through the axon remote
+#   compiler; the L=14 fwd+bwd training program OOM-kills the compile
+#   helper — tools/bench_wide_kernel_bisect.py). Experimental opt-in.
 _WIDE_KERNEL_MODE = "auto"
+_WIDE_KERNEL_VARIANT = "scan"
 
 
 def set_wide_kernel_mode(mode: str) -> None:
@@ -305,6 +317,17 @@ def set_wide_kernel_mode(mode: str) -> None:
         raise ValueError(mode)
     global _WIDE_KERNEL_MODE
     _WIDE_KERNEL_MODE = mode
+
+
+def set_wide_kernel_variant(variant: str) -> None:
+    if variant not in ("scan", "monolith"):
+        raise ValueError(variant)
+    global _WIDE_KERNEL_VARIANT
+    _WIDE_KERNEL_VARIANT = variant
+
+
+def wide_kernel_variant() -> str:
+    return _WIDE_KERNEL_VARIANT
 
 
 def wide_kernel_mode() -> str:

@@ -294,6 +294,200 @@ def wide_bwd_planes(out_planes, ct_planes, enc_planes, gs_planes, L: int,
     return (out[0], out[1]), tuple(out[2:])
 
 
+# ------------------------------------------- per-sublayer scan variant
+#
+# The monolithic chain kernels above hold the superstate in VMEM for the
+# WHOLE L x k chain — minimum HBM traffic, but Mosaic compile cost was
+# measured to scale with chain depth (tools/bench_wide_kernel_bisect.py:
+# 624 s for the L=1 forward through the axon remote compiler; the
+# combined fwd+bwd training program at L=14 OOM-kills the compile
+# helper). This variant trades 2 HBM passes per *sublayer* (16 MB at
+# w=20, ~0.6 ms/step of extra traffic — negligible against the step's
+# ~2.9 TFLOP of matmul work) for a bounded compile: ONE tiny sublayer
+# program each for fwd and bwd, reused across the chain by lax.scan.
+# Everything inside a sublayer (3 group matmuls, ring signs, the
+# backward's reconstruct / cotangent-push / dG) is still VMEM->MXU work;
+# the RZ re-upload between layers is 3 elementwise HBM passes in XLA.
+
+
+def _sub_fwd_kernel(prec, sg_ref, sr_ref, si_ref, *refs):
+    dims, _ = _dims_rests()
+    n = len(dims)
+    g_refs, (or_ref, oi_ref) = refs[:2 * n], refs[2 * n:]
+    sr, si = sr_ref[0], si_ref[0]
+    for gi in range(n):
+        sr, si = _cmm(g_refs[2 * gi][...], g_refs[2 * gi + 1][...],
+                      sr, si, prec)
+        if gi < n - 1:
+            sr = _rotl(sr, dims[gi + 1])
+            si = _rotl(si, dims[gi + 1])
+    sg = sg_ref[...]
+    sr, si = sr * sg, si * sg
+    for gi in range(n - 2, -1, -1):
+        sr = _rotr(sr, dims[gi])
+        si = _rotr(si, dims[gi])
+    or_ref[0], oi_ref[0] = sr, si
+
+
+def _sub_bwd_kernel(prec, sg_ref, sr_ref, si_ref, cr_ref, ci_ref, *refs):
+    dims, _ = _dims_rests()
+    n = len(dims)
+    g_refs = refs[:2 * n]
+    or_ref, oi_ref, qr_ref, qi_ref = refs[2 * n:2 * n + 4]
+    dg_refs = refs[2 * n + 4:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():  # dG accumulators revisit the same block every grid step
+        for ref in dg_refs:
+            ref[...] = jnp.zeros_like(ref)
+
+    sr, si = sr_ref[0], si_ref[0]
+    cr, ci = cr_ref[0], ci_ref[0]
+    for gi in range(1, n):  # invert fwd's two right-rotations
+        sr, si = _rotl(sr, dims[gi]), _rotl(si, dims[gi])
+        cr, ci = _rotl(cr, dims[gi]), _rotl(ci, dims[gi])
+    sg = sg_ref[...]  # undo ring (CZ signs are self-inverse)
+    sr, si, cr, ci = sr * sg, si * sg, cr * sg, ci * sg
+    for gi in range(n - 1, -1, -1):
+        gr, gm = g_refs[2 * gi][...], g_refs[2 * gi + 1][...]
+        grT, gmT = gr.T, gm.T
+        # reconstruct the group's input state through G^H
+        sr, si = _cmm(grT, -gmT, sr, si, prec)
+        # dG from c_out x s_in, summed over the batch grid via revisiting
+        dgr, dgi = _cdg(cr, ci, sr, si, prec)
+        dg_refs[2 * gi][...] = dg_refs[2 * gi][...] + dgr
+        dg_refs[2 * gi + 1][...] = dg_refs[2 * gi + 1][...] + dgi
+        # push the cotangent through G^T (JAX convention)
+        cr, ci = _cmm(grT, gmT, cr, ci, prec)
+        if gi > 0:  # invert fwd's left-rotation into this layout
+            sr, si = _rotr(sr, dims[gi - 1]), _rotr(si, dims[gi - 1])
+            cr, ci = _rotr(cr, dims[gi - 1]), _rotr(ci, dims[gi - 1])
+    or_ref[0], oi_ref[0] = sr, si
+    qr_ref[0], qi_ref[0] = cr, ci
+
+
+def _packed_zero_planes(B: int, wires: int):
+    """Packed |0..0> superstate planes: amplitude 1 wherever the basis
+    index is 0 mod 2**wires (one 1 per packed sample)."""
+    dims, rests = _dims_rests()
+    d0, r0 = dims[0], rests[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (d0, r0), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (d0, r0), 1)
+    idx0 = row * r0 + col
+    zr = jnp.broadcast_to(((idx0 & (2**wires - 1)) == 0).astype(_F32),
+                          (B, d0, r0))
+    return zr, jnp.zeros((B, d0, r0), _F32)
+
+
+def _sub_fwd_call(wires: int, B: int, interpret: bool):
+    dims, rests = _dims_rests()
+    n = len(dims)
+    d0, r0 = dims[0], rests[0]
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((1, d0, r0), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    plane = jax.ShapeDtypeStruct((B, d0, r0), _F32)
+    kern = functools.partial(_sub_fwd_kernel, _precision())
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[const, block, block] + [const] * (2 * n),
+        out_specs=(block, block),
+        out_shape=(plane, plane),
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )
+
+
+def _sub_bwd_call(wires: int, B: int, interpret: bool):
+    dims, rests = _dims_rests()
+    n = len(dims)
+    d0, r0 = dims[0], rests[0]
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((1, d0, r0), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec(memory_space=pltpu.VMEM)  # revisited accumulator
+    plane = jax.ShapeDtypeStruct((B, d0, r0), _F32)
+    dg_shapes, dg_specs = [], []
+    for d in dims:
+        dg_shapes += [jax.ShapeDtypeStruct((d, d), _F32)] * 2
+        dg_specs += [acc, acc]
+    kern = functools.partial(_sub_bwd_kernel, _precision())
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[const, block, block, block, block] + [const] * (2 * n),
+        out_specs=tuple([block] * 4 + dg_specs),
+        out_shape=tuple([plane] * 4 + dg_shapes),
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )
+
+
+def wide_fwd_scan(enc_planes, gs_planes, L: int, k: int, wires: int,
+                  interpret: bool = False):
+    """Scan twin of wide_fwd_planes: same signature, same result, one
+    sublayer-sized Mosaic program reused L*k times."""
+    er, ei = enc_planes
+    B = er.shape[0]
+    signs = jnp.asarray(ring_sign_rows(k, wires))
+    call = _sub_fwd_call(wires, B, interpret)
+    n = len(SIZES)
+    # per-layer xs: each group's (L, k, d, d) plane stack
+    xs = tuple(g.reshape(L, k, *g.shape[1:]) for g in gs_planes)
+
+    def layer(carry, g_l):
+        sr, si = carry
+        sr, si = sr * er - si * ei, sr * ei + si * er  # RZ re-upload
+        for li in range(k):
+            out = call(signs[li], sr, si,
+                       *(g_l[j][li] for j in range(2 * n)))
+            sr, si = out
+        return (sr, si), None
+
+    (sr, si), _ = jax.lax.scan(layer, _packed_zero_planes(B, wires), xs)
+    return sr, si
+
+
+def wide_bwd_scan(out_planes, ct_planes, enc_planes, gs_planes, L: int,
+                  k: int, wires: int, interpret: bool = False):
+    """Scan twin of wide_bwd_planes: same cotangent conventions, one
+    sublayer-sized backward program reused L*k times (reversed)."""
+    er, ei = enc_planes
+    B = er.shape[0]
+    signs = jnp.asarray(ring_sign_rows(k, wires))
+    call = _sub_bwd_call(wires, B, interpret)
+    n = len(SIZES)
+    xs = tuple(g.reshape(L, k, *g.shape[1:])[::-1] for g in gs_planes)
+
+    def layer(carry, g_l):
+        sr, si, cr, ci, der, dei = carry
+        dgs_l = []
+        for li in range(k - 1, -1, -1):
+            out = call(signs[li], sr, si, cr, ci,
+                       *(g_l[j][li] for j in range(2 * n)))
+            sr, si, cr, ci = out[:4]
+            dgs_l.append(out[4:])
+        # reverse through the RZ encode (unit phases: conj == inverse)
+        sr, si = sr * er + si * ei, si * er - sr * ei
+        der = der + (cr * sr - ci * si)
+        dei = dei + (cr * si + ci * sr)
+        cr, ci = cr * er - ci * ei, cr * ei + ci * er
+        # restore sublayer order li = 0..k-1 for stacking
+        ys = tuple(jnp.stack([dgs_l[k - 1 - li][j] for li in range(k)])
+                   for j in range(2 * n))
+        return (sr, si, cr, ci, der, dei), ys
+
+    dims, rests = _dims_rests()
+    d0, r0 = dims[0], rests[0]
+    z = jnp.zeros((B, d0, r0), _F32)
+    carry0 = (*out_planes, *ct_planes, z, z)
+    (sr, si, cr, ci, der, dei), dgs = jax.lax.scan(layer, carry0, xs)
+    # dgs[j]: (L, k, d, d) stacked in reversed-layer order -> restore
+    dg_planes = tuple(d[::-1].reshape(L * k, *d.shape[2:]) for d in dgs)
+    return (der, dei), dg_planes
+
+
 # ----------------------------------------------------- complex adapters
 def to_planes(x):
     """(B', 2**20) complex -> ((B', d0, r0) f32 re, im). Plain ops — only

@@ -230,25 +230,31 @@ def _make_wide_chain(L: int, k: int, wires: int, imprimitive: str,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_wide_chain_pallas(L: int, k: int, wires: int):
+def _make_wide_chain_pallas(L: int, k: int, wires: int,
+                            variant: str = "scan"):
     """Fused-kernel twin of _make_wide_chain (rz / cz / zero-init only),
     operating on packed 2**20 superstates (see _reupload_wide_kernel).
+
+    ``variant`` picks the kernel organization (config.wide_kernel_variant):
+    "scan" = per-sublayer programs reused via lax.scan (bounded Mosaic
+    compile — the production route); "monolith" = the whole chain in one
+    kernel (minimum HBM, depth-scaling compile cost — experimental).
 
     Returns ``chain(enc_packed, gs_padded) -> states_packed``. The
     complex<->plane conversions below live INSIDE the custom-VJP fwd/bwd,
     so they are never themselves differentiated — the hand-written
-    backward (wide_bwd_planes) carries the exact cotangent conventions of
-    the XLA chain (tests/test_wide_kernel.py pins values + grads)."""
-    from .pallas_wide_kernel import (dgs_from_planes, from_planes,
-                                     gs_to_planes, to_planes,
-                                     wide_bwd_planes, wide_fwd_planes)
+    backward carries the exact cotangent conventions of the XLA chain
+    (tests/test_wide_kernel.py pins values + grads for both variants)."""
+    from . import pallas_wide_kernel as wk
 
+    fwd_planes = wk.wide_fwd_scan if variant == "scan" else wk.wide_fwd_planes
+    bwd_planes = wk.wide_bwd_scan if variant == "scan" else wk.wide_bwd_planes
     interpret = jax.default_backend() != "tpu"
 
     def fwd_impl(enc, gs):
-        out = wide_fwd_planes(to_planes(enc), gs_to_planes(gs),
-                              L, k, wires, interpret=interpret)
-        return from_planes(out, dtype=enc.dtype)
+        out = fwd_planes(wk.to_planes(enc), wk.gs_to_planes(gs),
+                         L, k, wires, interpret=interpret)
+        return wk.from_planes(out, dtype=enc.dtype)
 
     @jax.custom_vjp
     def chain(enc, gs):
@@ -260,11 +266,11 @@ def _make_wide_chain_pallas(L: int, k: int, wires: int):
 
     def chain_bwd(res, ct):
         out, enc, gs = res
-        denc_p, dgs_p = wide_bwd_planes(
-            to_planes(out), to_planes(ct), to_planes(enc),
-            gs_to_planes(gs), L, k, wires, interpret=interpret)
-        return (from_planes(denc_p, dtype=enc.dtype),
-                dgs_from_planes(dgs_p, L, k, dtype=gs[0].dtype))
+        denc_p, dgs_p = bwd_planes(
+            wk.to_planes(out), wk.to_planes(ct), wk.to_planes(enc),
+            wk.gs_to_planes(gs), L, k, wires, interpret=interpret)
+        return (wk.from_planes(denc_p, dtype=enc.dtype),
+                wk.dgs_from_planes(dgs_p, L, k, dtype=gs[0].dtype))
 
     chain.defvjp(chain_fwd, chain_bwd)
     return chain
@@ -301,7 +307,8 @@ def _reupload_wide_kernel(x_enc, block_weights, cdtype):
         mats = jnp.concatenate([eye, mats], axis=1)
     gs = tuple(g.reshape(L, k, *g.shape[1:])
                for g in group_gates(mats, SIZES))
-    chain = _make_wide_chain_pallas(L, k, wires)
+    chain = _make_wide_chain_pallas(L, k, wires,
+                                    _config.wide_kernel_variant())
     states = chain(enc_packed, gs)
     return states.reshape(bp * pack, 2**wires)[:batch]
 

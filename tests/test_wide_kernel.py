@@ -24,16 +24,20 @@ def _angles(*shape):
     return jnp.asarray(RNG.normal(size=shape) * 0.7, jnp.float32)
 
 
-@pytest.fixture
-def kernel_mode():
-    """Force the fused-kernel route (interpret mode off-TPU), restoring
-    the config afterwards (route guards are order-independent)."""
+@pytest.fixture(params=["scan", "monolith"])
+def kernel_mode(request):
+    """Force the fused-kernel route (interpret mode off-TPU) for each
+    kernel variant, restoring the config afterwards (route guards are
+    order-independent)."""
     prev_k, prev_w = config.wide_kernel_mode(), config.wide_mode()
+    prev_v = config.wide_kernel_variant()
     config.set_wide_kernel_mode("on")
     config.set_wide_mode("on")
-    yield
+    config.set_wide_kernel_variant(request.param)
+    yield request.param
     config.set_wide_kernel_mode(prev_k)
     config.set_wide_mode(prev_w)
+    config.set_wide_kernel_variant(prev_v)
 
 
 def _run(x, wq):

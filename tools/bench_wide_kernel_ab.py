@@ -84,14 +84,19 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--scan", action="store_true",
                     help="scan all steps into one program")
+    ap.add_argument("--mode", default=None, choices=("off", "auto", "on"),
+                    help="run a single mode only (fresh-process probe; "
+                    "no A/B file is written)")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}")
     rows = []
-    for mode in ("off", "auto"):
+    for mode in ((args.mode,) if args.mode else ("off", "auto")):
         r = run_case(args.wires, args.L, args.k, args.batch, args.steps,
                      mode, args.scan)
         rows.append(r)
-        print(json.dumps(r))
+        print(json.dumps(r), flush=True)
+    if args.mode:
+        return
     drift = abs(rows[0]["loss_last"] - rows[1]["loss_last"])
     speedup = rows[1]["steps_per_sec"] / max(rows[0]["steps_per_sec"], 1e-9)
     out = {
