@@ -249,11 +249,17 @@ def _make_wide_chain_pallas(L: int, k: int, wires: int,
 
     fwd_planes = wk.wide_fwd_scan if variant == "scan" else wk.wide_fwd_planes
     bwd_planes = wk.wide_bwd_scan if variant == "scan" else wk.wide_bwd_planes
-    interpret = jax.default_backend() != "tpu"
+
+    # evaluated at trace time, NOT at factory-cache-fill time: the chain is
+    # lru_cached on (L, k, wires, variant) only, and tests/drivers can flip
+    # the default backend within a process (e.g. forcing cpu) — a captured
+    # flag would silently reuse the stale interpret decision
+    def _interpret() -> bool:
+        return jax.default_backend() != "tpu"
 
     def fwd_impl(enc, gs):
         out = fwd_planes(wk.to_planes(enc), wk.gs_to_planes(gs),
-                         L, k, wires, interpret=interpret)
+                         L, k, wires, interpret=_interpret())
         return wk.from_planes(out, dtype=enc.dtype)
 
     @jax.custom_vjp
@@ -268,7 +274,7 @@ def _make_wide_chain_pallas(L: int, k: int, wires: int,
         out, enc, gs = res
         denc_p, dgs_p = bwd_planes(
             wk.to_planes(out), wk.to_planes(ct), wk.to_planes(enc),
-            wk.gs_to_planes(gs), L, k, wires, interpret=interpret)
+            wk.gs_to_planes(gs), L, k, wires, interpret=_interpret())
         return (wk.from_planes(denc_p, dtype=enc.dtype),
                 wk.dgs_from_planes(dgs_p, L, k, dtype=gs[0].dtype))
 

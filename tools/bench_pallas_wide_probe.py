@@ -109,37 +109,6 @@ def probe_reshape(n_iters=50):
     return t / (2 * n_iters)
 
 
-def probe_matmul(n_iters=50, m=128, n=8192):
-    def body(i, x):
-        return jax.lax.dot_general(
-            gmat, x, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-    gmat = None
-
-    def kernel(g_ref, x_ref, o_ref):
-        nonlocal gmat
-        gmat = g_ref[:]
-        x = x_ref[:]
-        x = jax.lax.fori_loop(0, n_iters, body, x)
-        o_ref[:] = x
-
-    fn = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * MB),
-    )
-    g = jnp.eye(m, dtype=jnp.float32) * 0.9999
-    x = jnp.ones((m, n), jnp.float32)
-    t = _time(fn, x_args := (g, x))
-    # _time expects fn(*args)
-    return t / n_iters
-
-
 def probe_matmul2(n_iters=50, m=128, n=8192):
     def kernel(g_ref, x_ref, o_ref):
         g = g_ref[:]

@@ -5,7 +5,7 @@ rz/cz re-uploading block) at the suite's wide configs, run once with
 config.wide_kernel_mode "off" (the XLA grouped-Kronecker chain, r4
 baseline) and once "auto" (the fused kernel, sim/pallas_wide_kernel.py).
 Reports steps/s, compile wall, and loss-trajectory agreement; writes
-results/wide_kernel_ab.json.
+results/wide_kernel_ab_w{wires}.json.
 
 Run: python tools/bench_wide_kernel_ab.py [--wires 20] [--steps 30]
 """

@@ -73,6 +73,7 @@ def main():
         rows.append(r)
         print(json.dumps(r), flush=True)
     path = pathlib.Path(__file__).resolve().parent.parent / "results"
+    path.mkdir(exist_ok=True)
     (path / "wide_kernel_bisect.json").write_text(json.dumps(rows, indent=1))
 
 
