@@ -96,7 +96,6 @@ def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
 
     from qiddm_tpu import nn
     from qiddm_tpu.diffusion import Diffusion
-    from qiddm_tpu.train import train_diffusion_scan
     (x, y, h, w), provenance = _load_mnist28_with_provenance()
     x = x[y == 4]
     n_train = int(len(x) * 0.8)
@@ -106,18 +105,54 @@ def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
     net = nn.differN_noise(28, L, N, 0)
     diff = Diffusion(net=net, prediction_goal="data", shape=(h, w))
 
+    # explicit lower/compile/first-exec staging so a blown setup wall is
+    # DIAGNOSABLE from the bench output alone: "compile" is the client-side
+    # XLA+Mosaic wall (persistent-cache hit -> sub-second), "load" is the
+    # first execution — on the axon backend this is where the server-side
+    # program load/compile lands, and it is the stage that has historically
+    # swung from 1 s to minutes for the SAME program (BENCH_r03/r04,
+    # tools/bench_setup_probe.py).
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    x_flat = jnp.asarray(np.asarray(x)).reshape(len(x), -1)
+    optimizer = optax.adam(0.0459)
+    params, extra = net.params, net.extra_variables
+    opt_state = optimizer.init(params)
+    run_j = diff.make_multi_epoch_fn(optimizer, tau, batch_size, epochs)
+    key = jax.random.PRNGKey(42)
     t0 = time.time()
-    losses, wall = train_diffusion_scan(
-        diff, x, epochs=epochs, batch_size=batch_size, lr=0.0459, T=tau,
-        key=jax.random.PRNGKey(42))
-    setup_s = time.time() - t0 - wall  # compile + one warmup run
+    lowered = run_j.lower(params, opt_state, extra, key, x_flat,
+                          n_train=n_train)
+    trace_s = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    code_mb = None
+    try:
+        code_mb = compiled.memory_analysis().generated_code_size_in_bytes / 1e6
+    except Exception:
+        pass
+    t0 = time.time()
+    out = compiled(params, opt_state, extra, key, x_flat)
+    np.asarray(out[3])  # fetch == sync on the axon tunnel
+    load_s = time.time() - t0  # first exec: server-side program load
+    t0 = time.time()
+    _, _, _, losses = compiled(params, opt_state, extra, key, x_flat)
+    losses = np.asarray(losses)
+    wall = time.time() - t0
+    setup_s = trace_s + compile_s + load_s
 
     n_images = n_train * epochs
     img_per_s = n_images / wall
     # dropless padded batching runs ceil(n_train/bs) steps per epoch
     steps = epochs * (-(-len(x) // batch_size))
+    prog = f"{code_mb:.1f}MB" if code_mb is not None else "n/a"
     detail = (f"{n_images} images ({n_train} x {epochs} epochs), "
-              f"wall={wall:.4f}s, setup={setup_s:.1f}s (compile+warmup), "
+              f"wall={wall:.4f}s, setup={setup_s:.1f}s (trace={trace_s:.1f} "
+              f"compile={compile_s:.1f} first-exec-load={load_s:.1f}; "
+              f"program={prog}), "
               f"denoiser-steps/s={n_images * tau / wall:.0f}, "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
     # the denoiser runs on the PAIRED chain rows: tau+1 noise levels pair

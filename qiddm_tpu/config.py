@@ -291,24 +291,32 @@ def wide_mode() -> str:
 
 
 # VMEM-resident fused kernel for the wide chain (sim/pallas_wide_kernel.py):
-# * "auto": on TPU, for eligible chains (rz encode, CZ ring, complex64,
-#   13 <= wires <= 20 — see wide._use_wide_kernel); the XLA grouped chain
-#   keeps everything else;
+# * "off" (DEFAULT): always the XLA grouped chain. The on-chip A/B
+#   (tools/bench_wide_kernel_ab.py, results/wide_kernel_ab_w{16,20}.json,
+#   v5e) rejected the kernel: at w=16 (L=14, k=2, B=8) the scan variant
+#   matches the XLA chain numerically (loss drift 1.5e-7) but runs
+#   0.34 steps/s vs 26.8 — 80x SLOWER, after a 570 s Mosaic compile —
+#   and at w=20 its backward does not compile at all (143.2 MB scoped
+#   VMEM demanded vs the chip's 128 MB; 74.7 MB of it register-allocator
+#   spill slots — the sublayer body's live set far exceeds what Mosaic
+#   can register-allocate). The grouped-Kronecker XLA chain (sim/wide.py)
+#   stays the production wide route.
+# * "auto": the fused kernel on TPU for eligible chains (rz encode, CZ
+#   ring, complex64, 13 <= wires <= 20 — see wide._use_wide_kernel);
 # * "on":   force anywhere eligible (off-TPU runs interpret-mode — CPU
-#   parity tests);
-# * "off":  always the XLA grouped chain.
+#   parity tests).
 #
 # Which kernel the route uses is governed by _WIDE_KERNEL_VARIANT:
 # * "scan":     per-sublayer programs reused via lax.scan — bounded Mosaic
-#   compile (one tiny fwd + one tiny bwd program regardless of L), 2 HBM
-#   passes per sublayer (~0.6 ms/step extra at w=20, negligible vs the
-#   step's matmul work). The production variant.
+#   compile, 2 HBM passes per sublayer. Compiles at w<=16 but spills (see
+#   above); measured 80x slower than XLA at w=16, VMEM-OOM at w=20.
 # * "monolith": the whole L x k chain in one kernel, superstate
 #   VMEM-resident end to end — minimum HBM, but Mosaic compile cost
 #   scales with depth (624 s for L=1 fwd through the axon remote
 #   compiler; the L=14 fwd+bwd training program OOM-kills the compile
-#   helper — tools/bench_wide_kernel_bisect.py). Experimental opt-in.
-_WIDE_KERNEL_MODE = "auto"
+#   helper — tools/bench_wide_kernel_bisect.py). Guarded: selecting it at
+#   L > 1 on TPU raises (sim/wide.py::_check_monolith_depth).
+_WIDE_KERNEL_MODE = "off"
 _WIDE_KERNEL_VARIANT = "scan"
 
 

@@ -16,6 +16,7 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .. import pca as pca_mod
@@ -233,18 +234,53 @@ class Reupload(nn.Module):
             # nn/qdense.py:2088 reuses self.batchnorm in the loop)
             shared_bn = nn.BatchNorm(use_running_average=not train,
                                      momentum=0.9, epsilon=1e-5, name="bn")
-        for n in range(self.N):
-            if self.batchnorm_pre_block:
-                cur = shared_bn(cur)
-            enc = cur[:, : self.hidden]
+
+        def _one_block(enc, w_n, traj_kw):
             out = engine.reupload_block(
-                enc, blocks[n], encode=self.encode, imprimitive="cz",
-                noise=noise, readout=self.readout,
-                **_traj_kwargs(self, noise),
-            )
+                enc, w_n, encode=self.encode, imprimitive="cz",
+                noise=noise, readout=self.readout, **traj_kw)
             if self.readout == "probs" and self.post_each_block:
                 out = postprocess_probs(out, pixels)
-            cur = out
+            return out
+
+        # The N blocks are structurally identical (same static config,
+        # per-block weights): running them as ONE lax.scan body instead of
+        # an unrolled Python loop keeps exactly one instance of the block
+        # program (incl. its fused Pallas kernels) in the compiled
+        # executable — the unrolled differN/QIDDM train step carried ~6 MB
+        # of generated code PER BLOCK, which dominated cold-start program
+        # load/compile walls (tools/bench_codegen_parts.py). BatchNorm
+        # variants keep the unrolled loop: flax mutable batch stats cannot
+        # update inside plain lax.scan.
+        needs_traj = bool(self.noise_trajectories and noise is not None
+                          and not noise.is_unitary)
+        if self.N > 1 and not self.batchnorm_pre_block:
+            stacked = (jnp.broadcast_to(w, (self.N,) + w.shape)
+                       if self.shared_weights else w)
+            # one fresh trajectory key per block, same make_rng fold order
+            # as the unrolled loop (one call per block)
+            tkeys = (jnp.stack([self.make_rng("trajectories")
+                                for _ in range(self.N)])
+                     if needs_traj else jnp.zeros((self.N, 2), jnp.uint32))
+
+            def body(enc, xs):
+                w_n, tkey = xs
+                kw = ({"n_traj": self.noise_trajectories, "traj_key": tkey}
+                      if needs_traj else {})
+                out = _one_block(enc, w_n, kw)
+                return out[:, : self.hidden], out
+
+            enc0 = cur[:, : self.hidden]
+            _, outs = jax.lax.scan(body, enc0, (stacked, tkeys))
+            cur = outs[-1]
+        else:
+            for n in range(self.N):
+                if self.batchnorm_pre_block:
+                    cur = shared_bn(cur)
+                kw = ({"n_traj": self.noise_trajectories,
+                       "traj_key": self.make_rng("trajectories")}
+                      if needs_traj else {})
+                cur = _one_block(cur[:, : self.hidden], blocks[n], kw)
 
         # --- up-projection --------------------------------------------------
         if self.up == "none":

@@ -257,7 +257,27 @@ def _make_wide_chain_pallas(L: int, k: int, wires: int,
     def _interpret() -> bool:
         return jax.default_backend() != "tpu"
 
+    def _check_monolith_depth():
+        # Measured on the v5e (tools/bench_wide_kernel_bisect.py,
+        # results/wide_kernel_bisect.json): the monolithic chain kernel's
+        # Mosaic compile scales pathologically with depth — the L=1
+        # forward alone took 624 s through the axon remote compiler, and
+        # the L=14 fwd+bwd training program OOM-killed the compile helper.
+        # Fail fast instead of walking a user into a ten-minute-to-OOM
+        # compile; interpret mode (CPU parity tests) has no Mosaic compile
+        # and stays exact at any depth.
+        if variant == "monolith" and not _interpret() and L > 1:
+            raise ValueError(
+                f"wide_kernel_variant='monolith' at L={L} (k={k}, "
+                f"wires={wires}): the monolithic kernel's Mosaic compile "
+                f"is infeasible beyond L=1 on TPU (624 s for the L=1 "
+                f"forward; L=14 fwd+bwd OOM-killed the compiler — "
+                f"results/wide_kernel_bisect.json). Use the default "
+                f"'scan' variant (set_wide_kernel_variant('scan')), which "
+                f"compiles one sublayer-sized program regardless of depth.")
+
     def fwd_impl(enc, gs):
+        _check_monolith_depth()
         out = fwd_planes(wk.to_planes(enc), wk.gs_to_planes(gs),
                          L, k, wires, interpret=_interpret())
         return wk.from_planes(out, dtype=enc.dtype)

@@ -147,3 +147,25 @@ def test_routing_guards():
         assert not wide._use_wide_kernel(14, "rz", "cz", jnp.complex64)
     finally:
         config.set_wide_kernel_mode(prev)
+
+
+def test_monolith_depth_guard(monkeypatch):
+    """Selecting the monolith variant at L>1 on TPU fails fast with a
+    message citing the bisect measurement instead of walking into a
+    multi-minute-to-OOM Mosaic compile (results/wide_kernel_bisect.json).
+    Interpret mode (non-TPU backends) stays exact at any depth — covered
+    by the parity tests above."""
+    wide._make_wide_chain_pallas.cache_clear()
+    prev_k, prev_v = config.wide_kernel_mode(), config.wide_kernel_variant()
+    config.set_wide_kernel_mode("on")
+    config.set_wide_kernel_variant("monolith")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        x = _angles(2, 14)
+        wq = _angles(14, 2, 14, 3)
+        with pytest.raises(ValueError, match="monolith.*infeasible"):
+            wide.reupload_chain_wide(x, wq, encode="rz", imprimitive="cz")
+    finally:
+        config.set_wide_kernel_mode(prev_k)
+        config.set_wide_kernel_variant(prev_v)
+        wide._make_wide_chain_pallas.cache_clear()

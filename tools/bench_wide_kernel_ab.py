@@ -29,6 +29,14 @@ from qiddm_tpu.sim.engine import reupload_block
 
 def run_case(wires: int, L: int, k: int, batch: int, steps: int,
              mode: str, scan: bool):
+    try:
+        return _run_case(wires, L, k, batch, steps, mode, scan)
+    except Exception as e:  # compile OOM / Mosaic failure: record, not crash
+        return {"mode": mode, "ok": False, "err": str(e)[:600]}
+
+
+def _run_case(wires: int, L: int, k: int, batch: int, steps: int,
+              mode: str, scan: bool):
     config.set_wide_kernel_mode(mode)
     kw = jax.random.PRNGKey(0)
     w0 = jax.random.normal(kw, (L, k, wires, 3), jnp.float32) * 0.4
@@ -97,17 +105,14 @@ def main():
         print(json.dumps(r), flush=True)
     if args.mode:
         return
-    drift = abs(rows[0]["loss_last"] - rows[1]["loss_last"])
-    speedup = rows[1]["steps_per_sec"] / max(rows[0]["steps_per_sec"], 1e-9)
-    out = {
-        "config": vars(args),
-        "xla": rows[0],
-        "kernel": rows[1],
-        "speedup": round(speedup, 2),
-        "loss_last_drift": drift,
-    }
-    print(json.dumps({"speedup": out["speedup"],
-                      "loss_last_drift": drift}))
+    out = {"config": vars(args), "xla": rows[0], "kernel": rows[1]}
+    if rows[0].get("ok", True) and rows[1].get("ok", True):
+        drift = abs(rows[0]["loss_last"] - rows[1]["loss_last"])
+        speedup = (rows[1]["steps_per_sec"]
+                   / max(rows[0]["steps_per_sec"], 1e-9))
+        out.update(speedup=round(speedup, 2), loss_last_drift=drift)
+        print(json.dumps({"speedup": out["speedup"],
+                          "loss_last_drift": drift}))
     path = pathlib.Path(__file__).resolve().parent.parent / "results"
     path.mkdir(exist_ok=True)
     (path / f"wide_kernel_ab_w{args.wires}.json").write_text(
