@@ -565,6 +565,44 @@ def _probe_backend_or_pin_cpu(timeout_s: int = 150) -> str:
     return "cpu-fallback(tpu-unreachable)"
 
 
+def _provenance():
+    """Routing/config fingerprint stamped into every suite row, so a row
+    produced under one routing config cannot be silently cited after the
+    config changed (r4 carried a wide16 row from a superseded route for a
+    full round). Records the knobs that change which code path a row
+    measures, plus the git rev and a timestamp."""
+    import datetime
+    import subprocess
+
+    from qiddm_tpu import config as _cfg
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10).stdout.strip() or None
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True,
+            text=True, timeout=10).stdout.strip())
+    except Exception:
+        rev, dirty = None, None
+    return {
+        "git": (f"{rev}-dirty" if rev and dirty else rev),
+        "time": datetime.datetime.now().isoformat(timespec="seconds"),
+        "routing": {
+            "use_pallas": _cfg.use_pallas(),
+            "pallas_max_wires": _cfg.pallas_max_wires(),
+            "traj_pallas_max_wires": _cfg.traj_pallas_max_wires(),
+            "adjoint_mode": _cfg.adjoint_mode(),
+            "wide_mode": _cfg.wide_mode(),
+            "wide_kernel_mode": _cfg.wide_kernel_mode(),
+            "wide_kernel_variant": _cfg.wide_kernel_variant(),
+            "dm_channel_mode": _cfg.dm_channel_mode(),
+            "dm_unitary_mode": _cfg.dm_unitary_mode(),
+            "matmul_precision": _cfg.matmul_precision(),
+        },
+    }
+
+
 def main(argv=None):
     import argparse
     import pathlib
@@ -593,7 +631,7 @@ def main(argv=None):
     if args.suite:
         import jax
 
-        suite = [dict(primary, roofline=util)]
+        suite = [dict(primary, roofline=util, provenance=_provenance())]
         serving = lambda: bench_sampling(batch=4096, reps=20,
                                          tag="_batch4096_serving")
         wide20 = lambda: bench_wide_reupload(wires=20, steps=20)
@@ -614,7 +652,8 @@ def main(argv=None):
                    bench_noise_dm_sampling, bench_traj_noisy_sampling,
                    bench_wide_reupload, wide20):
             rec = fn()
-            suite.append(dict(rec[0], detail=rec[1]))
+            suite.append(dict(rec[0], detail=rec[1],
+                              provenance=_provenance()))
             print(f"# {rec[0]['metric']}: {rec[0]['value']} "
                   f"{rec[0]['unit']} ({rec[1]})", file=sys.stderr)
             write()

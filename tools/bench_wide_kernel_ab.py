@@ -27,12 +27,22 @@ from qiddm_tpu import config
 from qiddm_tpu.sim.engine import reupload_block
 
 
+def _salient_error(msg: str) -> str:
+    """Pull the informative lines out of an axon remote-compile error (the
+    raw text leads with kilobytes of ANSI terminal log preamble)."""
+    keep = [ln for ln in msg.splitlines()
+            if any(s in ln for s in ("Ran out of memory", "vmem", "ERROR",
+                                     "error:", "RESOURCE_EXHAUSTED"))
+            and "\x1b[2m" not in ln]
+    return (" | ".join(keep)[:600]) if keep else msg[:600]
+
+
 def run_case(wires: int, L: int, k: int, batch: int, steps: int,
              mode: str, scan: bool):
     try:
         return _run_case(wires, L, k, batch, steps, mode, scan)
     except Exception as e:  # compile OOM / Mosaic failure: record, not crash
-        return {"mode": mode, "ok": False, "err": str(e)[:600]}
+        return {"mode": mode, "ok": False, "err": _salient_error(str(e))}
 
 
 def _run_case(wires: int, L: int, k: int, batch: int, steps: int,
