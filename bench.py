@@ -452,6 +452,78 @@ def bench_wide_reupload(wires: int = 16, L: int = 14, k: int = 2,
         f"no reference baseline — beyond its 10-wire ceiling")
 
 
+def _unet_conv_sites(batch: int):
+    """Every conv site of the UNetUndirected(3, 8) geometry on 28x28 input
+    — (patches, feat=cin*kh*kw, cout, wires) per call — collected by
+    shape-tracing one forward with a QConv2d spy (no device work)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from qiddm_tpu import nn as qnn
+    from qiddm_tpu.nn import qconv as qconv_mod
+
+    calls = []
+    orig = qconv_mod.QConv2d.__call__
+
+    def spy(self, x, train=False):
+        b, c, h, w = x.shape
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        d = 2 ** self.wires
+        calls.append({
+            "patches": int(b) * (h + 2 * ph - kh + 1) * (w + 2 * pw - kw + 1),
+            "feat": c * kh * kw, "cout": self.out_channels,
+            "d": d, "n_rows": min(self.out_channels, d - d // 2)})
+        return orig(self, x, train=train)
+
+    qconv_mod.QConv2d.__call__ = spy
+    try:
+        net = qnn.UNetUndirected(3, 8, 3, img_shape=(28, 28))
+        x = jnp.zeros((batch, 1, 28, 28), jnp.float32)
+        jax.eval_shape(
+            lambda v, x: net.module.apply(
+                v, x, train=True, mutable=net.mutable_collections),
+            net.variables, x)
+    finally:
+        qconv_mod.QConv2d.__call__ = orig
+    return calls
+
+
+def _unet_roofline(qdepth: int, steps_per_s: float, batch_tau: int):
+    """Roofline field for the U-Net rows (conv-site enumeration shared
+    between the classical and quantum variants — same geometry). Quantum
+    route: 2 real (P, d) @ (d, n_rows) matmuls + embed/readout elementwise
+    over (P, d) psi (nn/qconv.py, dead-output-eliminated); classical:
+    one real (P, feat) @ (feat, cout) contraction per site. fwd + ~2x bwd
+    per training step. Full forensics: tools/bench_qconv_probe.py ->
+    results/qconv_roofline.json."""
+    sites = _unet_conv_sites(batch_tau)
+    if qdepth > 0:
+        mm = sum(2 * (2 * c["patches"] * c["d"] * c["n_rows"])
+                 for c in sites)
+        hbm = sum(4 * (c["patches"] * c["feat"] + 3 * c["patches"] * c["d"]
+                       + c["patches"] * c["n_rows"]) for c in sites)
+        note = ("QConv route: matmul work is ~3%% of the MXU ceiling — the "
+                "row is bound by the embed/readout bandwidth and the "
+                "%d-conv dispatch chain, not FLOPs" % len(sites))
+    else:
+        mm = sum(2 * c["patches"] * c["feat"] * c["cout"] for c in sites)
+        hbm = sum(4 * (c["patches"] * c["feat"] + c["patches"] * c["cout"])
+                  for c in sites)
+        note = "classical conv sites at the same geometry"
+    flops = 3.0 * mm * steps_per_s
+    bw = 3.0 * hbm * steps_per_s
+    return {
+        "matmul_tflops": round(flops / 1e12, 3),
+        "pct_of_fp32_highest_mxu_ceiling": round(
+            100 * flops / (V5E_PEAK_BF16_FLOPS / 6), 2),
+        "hbm_gbps_lower_bound": round(bw / 1e9, 2),
+        "pct_of_hbm_peak": round(100 * bw / V5E_PEAK_HBM_BYTES, 2),
+        "note": note,
+    }
+
+
 def bench_unet(qdepth: int = 0, epochs: int = 10, batch_size: int = 8):
     """U-Net diffusion training throughput. qdepth=0 is the reference's
     strongest classical baseline (``UNetUndirected 3/8/0``, commented-in
@@ -486,6 +558,7 @@ def bench_unet(qdepth: int = 0, epochs: int = 10, batch_size: int = 8):
         "value": round(v, 1),
         "unit": "images/s",
         "vs_baseline": round(v / REFERENCE_IMAGES_PER_SEC, 1),
+        "roofline": _unet_roofline(qdepth, v / batch_size, batch_size * 10),
     }, (f"{n_images} images ({len(x)} x {epochs} epochs), wall={wall:.3f}s, "
         f"{kind}, loss {losses[0]:.4f} -> {losses[-1]:.4f}; vs_baseline is "
         f"vs the 2.3 img/s quantum-row reference rate (no published U-Net "

@@ -312,9 +312,9 @@ def wide_mode() -> str:
 #   above); measured 80x slower than XLA at w=16, VMEM-OOM at w=20.
 # * "monolith": the whole L x k chain in one kernel, superstate
 #   VMEM-resident end to end — minimum HBM, but Mosaic compile cost
-#   scales with depth (624 s for L=1 fwd through the axon remote
-#   compiler; the L=14 fwd+bwd training program OOM-kills the compile
-#   helper — tools/bench_wide_kernel_bisect.py). Guarded: selecting it at
+#   scales with depth (556 s for the L=1 fwd through the axon remote
+#   compiler; even the L=1 BACKWARD OOM-kills the compile helper after
+#   ~25 min — results/wide_kernel_bisect.json). Guarded: selecting it at
 #   L > 1 on TPU raises (sim/wide.py::_check_monolith_depth).
 _WIDE_KERNEL_MODE = "off"
 _WIDE_KERNEL_VARIANT = "scan"

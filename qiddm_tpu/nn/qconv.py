@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..sim.gates import qw_tanh
 from ..sim.sel import sel_unitary
-from ..sim.statevector import amplitude_embed, apply_unitary, probs
+from ..sim.statevector import amplitude_embed, probs
 from .initializers import qconv_uniform
 
 
@@ -84,16 +84,36 @@ class QConv2d(nn.Module):
         if self.compat_dead_qnode:
             # released behavior: post-process raw pixels, never run the circuit
             q = feats
+            q = jnp.clip(q * q.shape[-1] * 0.5, 0.0, 1.0)
+            q = q[:, ::2]                  # drop |...1> amplitudes
+            q = q[:, : self.out_channels]
         else:
-            u = sel_unitary(qw_tanh(weights), imprimitive="cnot")
-            states = amplitude_embed(feats, wires, pad_with=0.5,
-                                     dtype=u.dtype)
-            q = probs(apply_unitary(states, u))
+            # The postprocess (reference nn/qconv.py:58-69) keeps only the
+            # EVEN probability rows 0, 2, ..., 2*(Cout-1): dead-output
+            # elimination slices the composed unitary to those Cout rows
+            # before the patch matmul. And the embedded state is REAL
+            # (real patches, constant pad, L2 norm), so probs reduce to
+            # (psi @ Ur^T)^2 + (psi @ Ui^T)^2 — two real (P, d) @ (d, Cout)
+            # matmuls instead of a full complex (P, d) @ (d, d) (4 real
+            # matmuls at d columns). Same math as probs(U psi) sliced;
+            # measured 8.6x on the UNet QConv training row
+            # (results/qconv_roofline.json, DESIGN.md QConv section).
+            from .. import config as _config
 
-        # post-process (reference nn/qconv.py:58-69)
-        q = jnp.clip(q * q.shape[-1] * 0.5, 0.0, 1.0)
-        q = q[:, ::2]                      # drop |...1> amplitudes
-        q = q[:, : self.out_channels]
+            u = sel_unitary(qw_tanh(weights), imprimitive="cnot")
+            dim = 2 ** wires
+            n_rows = min(self.out_channels, dim - dim // 2)
+            rows = 2 * jnp.arange(n_rows)
+            psi = amplitude_embed(feats, wires, pad_with=0.5,
+                                  dtype=jnp.real(u).dtype)
+            ur = jnp.real(u)[rows]         # (n_rows, d)
+            ui = jnp.imag(u)[rows]
+            prec = _config.matmul_precision()
+            pr = jnp.matmul(psi, ur.T, precision=prec)
+            pi = jnp.matmul(psi, ui.T, precision=prec)
+            # the reference scales by the FULL probs width (2**wires)
+            q = jnp.clip((pr * pr + pi * pi) * dim * 0.5, 0.0, 1.0)
+
         if q.shape[-1] < self.out_channels:
             q = jnp.pad(q, ((0, 0), (0, self.out_channels - q.shape[-1])))
         return jnp.transpose(

@@ -299,9 +299,9 @@ def wide_bwd_planes(out_planes, ct_planes, enc_planes, gs_planes, L: int,
 # The monolithic chain kernels above hold the superstate in VMEM for the
 # WHOLE L x k chain — minimum HBM traffic, but Mosaic compile cost was
 # measured to scale with chain depth (tools/bench_wide_kernel_bisect.py:
-# 624 s for the L=1 forward through the axon remote compiler; the
-# combined fwd+bwd training program at L=14 OOM-kills the compile
-# helper). This variant trades 2 HBM passes per *sublayer* (16 MB at
+# 556 s for the L=1 forward through the axon remote compiler; even the
+# L=1 backward OOM-kills the compile helper — results/
+# wide_kernel_bisect.json). This variant trades 2 HBM passes per *sublayer* (16 MB at
 # w=20, ~0.6 ms/step of extra traffic — negligible against the step's
 # ~2.9 TFLOP of matmul work) for a bounded compile: ONE tiny sublayer
 # program each for fwd and bwd, reused across the chain by lax.scan.

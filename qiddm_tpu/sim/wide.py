@@ -260,9 +260,9 @@ def _make_wide_chain_pallas(L: int, k: int, wires: int,
     def _check_monolith_depth():
         # Measured on the v5e (tools/bench_wide_kernel_bisect.py,
         # results/wide_kernel_bisect.json): the monolithic chain kernel's
-        # Mosaic compile scales pathologically with depth — the L=1
-        # forward alone took 624 s through the axon remote compiler, and
-        # the L=14 fwd+bwd training program OOM-killed the compile helper.
+        # Mosaic compile is pathological — the L=1 forward alone took
+        # 556 s through the axon remote compiler, and even the L=1
+        # BACKWARD OOM-killed the compile helper after 1482 s (SIGKILL).
         # Fail fast instead of walking a user into a ten-minute-to-OOM
         # compile; interpret mode (CPU parity tests) has no Mosaic compile
         # and stays exact at any depth.
@@ -270,11 +270,13 @@ def _make_wide_chain_pallas(L: int, k: int, wires: int,
             raise ValueError(
                 f"wide_kernel_variant='monolith' at L={L} (k={k}, "
                 f"wires={wires}): the monolithic kernel's Mosaic compile "
-                f"is infeasible beyond L=1 on TPU (624 s for the L=1 "
-                f"forward; L=14 fwd+bwd OOM-killed the compiler — "
-                f"results/wide_kernel_bisect.json). Use the default "
-                f"'scan' variant (set_wide_kernel_variant('scan')), which "
-                f"compiles one sublayer-sized program regardless of depth.")
+                f"is infeasible beyond L=1 on TPU (556 s for the L=1 "
+                f"forward; even the L=1 backward OOM-kills the compiler "
+                f"after ~25 min — results/wide_kernel_bisect.json). Use "
+                f"the 'scan' variant (set_wide_kernel_variant('scan')), "
+                f"which compiles one sublayer-sized program regardless of "
+                f"depth — though note the on-chip A/B rejected BOTH "
+                f"variants for production (config.wide_kernel_mode).")
 
     def fwd_impl(enc, gs):
         _check_monolith_depth()
