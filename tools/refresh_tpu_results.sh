@@ -24,6 +24,10 @@ echo "== dm unitary-mode A/B"
 timeout 2400 python tools/bench_dm_unitary_modes.py \
     || echo "bench_dm_unitary_modes FAILED" >&2
 
+echo "== on-chip Mosaic-vs-XLA parity (every fused Pallas route; fails loudly)"
+timeout 3600 python tools/parity_onchip.py \
+    || echo "parity_onchip FAILED — Mosaic lowering disagrees with XLA" >&2
+
 echo "== primary + full bench suite (writes results/benchmarks.json)"
 timeout 4800 python bench.py --suite \
     || echo "bench suite FAILED" >&2
