@@ -90,12 +90,38 @@ def _load_mnist28_with_provenance():
     return (x, y, h, w), provenance
 
 
+def _warm_session():
+    """Absorb the axon SESSION-INIT wall before anything is timed.
+
+    The first program execution of a fresh client process pays a
+    90-980 s server-side handshake (measured trials: 89.7, 99.4, 219.9,
+    304.1, 322.5, 981.7 s) that is INDEPENDENT of the program: a 33 KB
+    ``x+1`` pays it identically while the full 8.5 MB train program
+    loads in 0.5-12.6 s once the session is warm (measured round 5,
+    tools/bench_session_init_probe.py, results/setup_wall_forensics.json
+    — this is what BENCH_r03/r04 recorded as 51/250 s 'setup').
+    Executing one trivial program first pins that shared infra cost to
+    its own line item, so the reported setup measures the FRAMEWORK's
+    program (trace + client compile + server program load), i.e. what a
+    second model/config in the same session would actually pay cold.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.time()
+    x = jnp.asarray(np.ones((8, 128), np.float32))
+    np.asarray(jax.jit(lambda v: v + 1.0)(x))
+    return time.time() - t0
+
+
 def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
                   L: int = 9, N: int = 2):
     import jax
 
     from qiddm_tpu import nn
     from qiddm_tpu.diffusion import Diffusion
+    session_init_s = _warm_session()
     (x, y, h, w), provenance = _load_mnist28_with_provenance()
     x = x[y == 4]
     n_train = int(len(x) * 0.8)
@@ -152,7 +178,10 @@ def bench_qiddm_a(epochs: int = 30, batch_size: int = 8, tau: int = 10,
     detail = (f"{n_images} images ({n_train} x {epochs} epochs), "
               f"wall={wall:.4f}s, setup={setup_s:.1f}s (trace={trace_s:.1f} "
               f"compile={compile_s:.1f} first-exec-load={load_s:.1f}; "
-              f"program={prog}), "
+              f"program={prog}; "
+              f"shared-tunnel-session-init={session_init_s:.1f}s — infra "
+              f"handshake a 33KB x+1 program pays identically, see "
+              f"results/setup_wall_forensics.json), "
               f"denoiser-steps/s={n_images * tau / wall:.0f}, "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
     # the denoiser runs on the PAIRED chain rows: tau+1 noise levels pair
