@@ -219,8 +219,10 @@ def _reupload_roofline(batch, wires, L, k, N, steps_per_s):
         "achieved_gflops": round(total / 1e9, 1),
         "pct_of_v5e_bf16_peak": round(100 * total / V5E_PEAK_BF16_FLOPS, 3),
         "achieved_hbm_gbps_lower_bound": round(hbm / 1e9, 2),
-        "note": ("gate-level sim is elementwise (VPU/VMEM-bound), not MXU "
-                 "matmul work; see DESIGN.md roofline section"),
+        "note": ("gate-equivalent flop count; at w>=config.wide_min_wires "
+                 "the route is grouped-Kronecker MXU contractions "
+                 "(sim/wide.py), below it fused elementwise Pallas chains "
+                 "(VPU/VMEM-bound); see DESIGN.md roofline sections"),
     }
 
 

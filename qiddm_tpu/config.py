@@ -290,6 +290,30 @@ def wide_mode() -> str:
     return _WIDE_MODE
 
 
+# Lower width bound where the grouped-Kronecker chain takes over from the
+# fused Pallas gate kernels on TPU (wide_mode "auto"). Measured on v5e
+# (tools/bench_narrow_route_ab.py; results/narrow_route_ab{,_b88,_qdense}
+# .json, L=14 k=2, 100-step scans, identical losses): at w=8 the Pallas
+# chain kernels win (2082 vs 1955 steps/s reupload, 2359 vs 1871 qdense);
+# from w=9 the grouped MXU contractions win every shape — 1.5x qdense B=8
+# (1755 vs 1169), 1.08x reupload B=88 (1223 vs 1131) — and by w=10 the
+# gap is 2.5-2.9x (1639 vs 563 reupload B=8) while the Mosaic compile
+# balloons (15-69 s vs 3 s). 28x28 models run exactly w=10, so this bound
+# carries the flagship training rows. The Pallas kernels keep w<=8 (sub-ms
+# VMEM-resident chains) and every density-matrix route (pallas_max_wires
+# still governs those).
+_WIDE_MIN_WIRES = 9
+
+
+def set_wide_min_wires(w: int) -> None:
+    global _WIDE_MIN_WIRES
+    _WIDE_MIN_WIRES = w
+
+
+def wide_min_wires() -> int:
+    return _WIDE_MIN_WIRES
+
+
 # VMEM-resident fused kernel for the wide chain (sim/pallas_wide_kernel.py):
 # * "off" (DEFAULT): always the XLA grouped chain. The on-chip A/B
 #   (tools/bench_wide_kernel_ab.py, results/wide_kernel_ab_w{16,20}.json,

@@ -217,7 +217,13 @@ def _use_wide(wires: int, on_tpu: bool) -> bool:
         return True
     if mode == "off":
         return False
-    return on_tpu and wires > _config.pallas_max_wires()
+    # "auto" on TPU: beyond the Pallas width cap, AND from wide_min_wires
+    # up even under the cap — the on-chip route A/B measured the grouped
+    # MXU contractions beating the fused Pallas chain kernels from w=9
+    # (1.5-2.9x by w=10, the 28x28 models' width) with seconds-not-minutes
+    # compiles (config.py::wide_min_wires, results/narrow_route_ab*.json).
+    return on_tpu and (wires >= _config.wide_min_wires()
+                       or wires > _config.pallas_max_wires())
 
 
 def _sel_small_batch(states, w, imprimitive: str, cdtype):
@@ -236,6 +242,10 @@ def _sel_small_batch(states, w, imprimitive: str, cdtype):
     if (_config.use_pallas() and jax.default_backend() == "tpu"
             and cdtype == jnp.complex64
             and w.shape[1] <= _config.pallas_max_wires()  # VMEM cap
+            # from wide_min_wires up the grouped-Kronecker chain measured
+            # faster than this kernel (routing note at _use_wide)
+            and not (w.shape[1] >= _config.wide_min_wires()
+                     and _use_wide(w.shape[1], True))
             and not _batch_traced(states, w)):
         from .gates import rot_matrix
         from .pallas_gate_kernel import sel_chain_pallas
@@ -413,6 +423,10 @@ def reupload_block(x_enc, block_weights, *, encode: str = "rz",
             and encode in ("rz", "rz_halfpi", "ry") and imprimitive == "cz"
             and cdtype == jnp.complex64  # kernels carry float32 planes
             and wires <= _config.pallas_max_wires()  # Mosaic compile cap
+            # from wide_min_wires up the grouped-Kronecker chain measured
+            # faster than this kernel (routing note at _use_wide)
+            and not (wires >= _config.wide_min_wires()
+                     and _use_wide(wires, on_tpu))
             # under an outer vmap (label-vmapped training, vmapped sweeps)
             # jax's default pallas batching rule would batch the kernel
             # itself, which kernel-faults the TPU worker — same guard as

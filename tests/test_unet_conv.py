@@ -115,6 +115,56 @@ def test_autopad_autocrop():
     assert b3.shape == (1, 1, 6, 6)
 
 
+def test_qconv_dead_output_elimination_parity():
+    """The optimized forward (even-row-sliced REAL matmuls,
+    nn/qconv.py:92-116) must equal the naive formulation it replaced:
+    full complex probs(U @ psi), slice even rows, scale by 2**wires / 2,
+    clip, truncate to out_channels — values AND weight gradients."""
+    from qiddm_tpu.nn.qconv import QConv2d
+    from qiddm_tpu.sim.gates import qw_tanh
+    from qiddm_tpu.sim.sel import sel_unitary
+    from qiddm_tpu.sim.statevector import amplitude_embed
+
+    m = QConv2d(in_channels=2, out_channels=5, kernel_size=(3, 3),
+                padding=(1, 1), qdepth=2)
+    x = _img(b=2, c=2, s=6)
+    vars_ = m.init(jax.random.PRNGKey(3), x)
+
+    def naive(vars_, x):
+        weights = vars_["params"]["qweights"]
+        b, c, h, w = x.shape
+        kh, kw = m.kernel_size
+        ph, pw = m.padding
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), (1, 1), [(ph, ph), (pw, pw)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        feats = patches.reshape(b, c * kh * kw, h * w)
+        feats = jnp.transpose(feats, (0, 2, 1)).reshape(-1, c * kh * kw)
+        feats = feats + 0.1
+        dim = 2 ** m.wires
+        psi = amplitude_embed(feats, m.wires, pad_with=0.5)
+        u = sel_unitary(qw_tanh(weights), imprimitive="cnot")
+        out = psi @ u.T                       # full complex (P, d) matmul
+        q = jnp.abs(out) ** 2                 # probs
+        q = jnp.clip(q * dim * 0.5, 0.0, 1.0)
+        q = q[:, ::2][:, : m.out_channels]    # even rows, truncate
+        if q.shape[-1] < m.out_channels:
+            q = jnp.pad(q, ((0, 0), (0, m.out_channels - q.shape[-1])))
+        return jnp.transpose(
+            q.reshape(b, h, w, m.out_channels), (0, 3, 1, 2))
+
+    y_opt = m.apply(vars_, x)
+    y_naive = naive(vars_, x)
+    np.testing.assert_allclose(np.asarray(y_opt), np.asarray(y_naive),
+                               rtol=2e-5, atol=2e-6)
+
+    g_opt = jax.grad(lambda v: jnp.sum(m.apply(v, x) ** 2))(vars_)
+    g_naive = jax.grad(lambda v: jnp.sum(naive(v, x) ** 2))(vars_)
+    np.testing.assert_allclose(
+        np.asarray(g_opt["params"]["qweights"]),
+        np.asarray(g_naive["params"]["qweights"]), rtol=2e-4, atol=1e-4)
+
+
 def test_qconv_medium_shapes_and_prep_unitarity():
     import jax.numpy as jnp
     from qiddm_tpu.nn.qconv import QConv2dMedium, QConv2dSlow, _prep_unitary

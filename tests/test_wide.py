@@ -155,6 +155,31 @@ def test_wide_x64_parity_mode():
         config.enable_x64(False)
 
 
+def test_use_wide_threshold():
+    """Auto routing boundary (measured on-chip, config.py::wide_min_wires,
+    results/narrow_route_ab*.json): on TPU the grouped chain takes over
+    from wide_min_wires (9) — BELOW the Pallas cap (10) — and everywhere
+    beyond the cap; off-TPU auto never engages (wide "on" covers CPU)."""
+    from qiddm_tpu.sim.engine import _use_wide
+
+    lo, cap = config.wide_min_wires(), config.pallas_max_wires()
+    assert lo <= cap + 1  # no routing gap: wide picks up where pallas ends
+    assert not _use_wide(lo - 1, True)
+    assert _use_wide(lo, True)
+    assert _use_wide(cap + 1, True)
+    assert not _use_wide(cap + 1, False)   # off-TPU auto -> adjoint path
+    config.set_wide_mode("off")
+    try:
+        assert not _use_wide(lo, True)
+    finally:
+        config.set_wide_mode("auto")
+    config.set_adjoint_mode("off")         # forward-autodiff escape hatch
+    try:
+        assert not _use_wide(lo, True)
+    finally:
+        config.set_adjoint_mode("auto")
+
+
 def test_engine_wide_mode_on_matches_default():
     """config.set_wide_mode("on") forces the grouped chain through the
     ENGINE (qdense + reupload entry points); outputs and gradients match
